@@ -1,0 +1,225 @@
+"""Deformable multi-head attention (DAT / DAT++), TPU-native.
+
+Re-design of the reference's ``DAttentionBaseline``
+(reference: models/utils/dat_blocks.py:19-227) for NHWC layouts and XLA:
+
+* offsets come from a small depthwise-conv net on the grouped queries;
+* key/value features are bilinearly gathered at ``reference + offset``
+  positions (the deformed grid), per offset group;
+* multi-head attention runs between all H*W queries and the Ns sampled
+  points, with one of four position-bias modes;
+* everything is expressed as batched matmuls + one (optionally two)
+  bilinear gathers so XLA maps it onto the MXU; a fused Pallas kernel
+  (ops/pallas/deform_attn.py) replaces the attention+bias inner loop on
+  TPU when ``kernel_impl='pallas'``.
+
+Semantics parity notes (traps called out in SURVEY.md §7):
+* grids are (x, y)-ordered at the sampler exactly like torch grid_sample;
+  positions/offsets are (y, x)-ordered internally like the reference;
+* ``offset_range_factor < 0`` (DAT++ segmentation) skips the tanh scaling
+  and clamps positions to [-1, 1];
+* the continuous RPE table has config-time shape (heads, 2*q_h-1, 2*q_w-1)
+  where q_h/q_w come from the *configured* image size (224//4 // 2^stage),
+  not the runtime feature size — sampling is in normalized displacement
+  space so runtime H,W may differ freely;
+* the reshape of grouped samples back to (B, Ns, C) deliberately mixes
+  groups in the channel dim before proj_k/proj_v, matching the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.grid_sample import grid_sample
+from ..ops.interpolate import avg_pool, resize_bilinear
+from .layers import conv2d, dense, LayerNorm2d, gelu, trunc_normal_init
+
+
+def reference_points(Hk: int, Wk: int, dtype=jnp.float32) -> jax.Array:
+    """Normalized (y, x) centers of the Hk x Wk sampling grid, in [-1, 1].
+
+    Matches reference _get_ref_points (dat_blocks.py:108-121): linspace of
+    pixel centers divided by (size - 1), i.e. slightly inset from the border.
+    Returns (Hk, Wk, 2) with channel 0 = y, 1 = x.
+    """
+    ys = (jnp.arange(Hk, dtype=dtype) + 0.5) / (Hk - 1.0) * 2.0 - 1.0
+    xs = (jnp.arange(Wk, dtype=dtype) + 0.5) / (Wk - 1.0) * 2.0 - 1.0
+    return jnp.stack(jnp.meshgrid(ys, xs, indexing="ij"), axis=-1)
+
+
+def query_grid(H: int, W: int, dtype=jnp.float32) -> jax.Array:
+    """Normalized (y, x) query coordinates, corners at exactly +-1.
+
+    Matches reference _get_q_grid (dat_blocks.py:123-136). (H, W, 2)."""
+    ys = jnp.arange(H, dtype=dtype) / (H - 1.0) * 2.0 - 1.0
+    xs = jnp.arange(W, dtype=dtype) / (W - 1.0) * 2.0 - 1.0
+    return jnp.stack(jnp.meshgrid(ys, xs, indexing="ij"), axis=-1)
+
+
+class DeformableAttention(nn.Module):
+    """One deformable attention op ('D' block core).
+
+    Attributes mirror the reference constructor (dat_blocks.py:21-106).
+    ``q_size`` is the config-time feature size used only to shape the
+    learned PE tables.
+    """
+
+    dim: int
+    n_heads: int
+    n_groups: int
+    stride: int
+    ksize: int
+    q_size: Tuple[int, int]
+    offset_range_factor: float = -1.0
+    use_pe: bool = True
+    dwc_pe: bool = False
+    fixed_pe: bool = False
+    log_cpb: bool = False
+    no_off: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    kernel_impl: str = "xla"  # 'xla' | 'pallas'
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        B, H, W, C = x.shape
+        assert C == self.dim, (C, self.dim)
+        heads, g = self.n_heads, self.n_groups
+        hc = C // heads
+        h_g = heads // g
+        Cg = C // g
+        scale = hc ** -0.5
+
+        q = dense(x, C, name="proj_q")
+
+        # ---- offset network on grouped queries -------------------------
+        # (B, H, W, g, Cg) -> (B*g, H, W, Cg); channel blocks per group.
+        q_grp = q.reshape(B, H, W, g, Cg).transpose(0, 3, 1, 2, 4)
+        q_grp = q_grp.reshape(B * g, H, W, Cg)
+        pad = self.ksize // 2 if self.ksize != self.stride else 0
+        off = conv2d(
+            q_grp, Cg, self.ksize, stride=self.stride, padding=pad,
+            groups=Cg, name="offset_dwc",
+        )
+        off = LayerNorm2d(name="offset_ln")(off)
+        off = gelu(off)
+        offset = dense(off, 2, use_bias=False, name="offset_proj")
+        Hk, Wk = offset.shape[1], offset.shape[2]
+        Ns = Hk * Wk
+
+        offset = offset.astype(jnp.float32)
+        if self.offset_range_factor >= 0 and not self.no_off:
+            rng = jnp.array(
+                [1.0 / (Hk - 1.0), 1.0 / (Wk - 1.0)], dtype=jnp.float32
+            )
+            offset = jnp.tanh(offset) * rng * self.offset_range_factor
+        if self.no_off:
+            offset = jnp.zeros_like(offset)
+
+        ref = reference_points(Hk, Wk)  # (Hk, Wk, 2), (y, x)
+        pos = offset + ref  # broadcast over B*g
+        if self.offset_range_factor < 0:
+            pos = jnp.clip(pos, -1.0, 1.0)
+        pos = pos.reshape(B * g, Ns, 2)
+
+        # ---- deformed sampling -----------------------------------------
+        if self.no_off:
+            assert H % self.stride == 0 and W % self.stride == 0
+            sampled = avg_pool(x, self.stride, self.stride)  # (B, Hk, Wk, C)
+            sampled = sampled.reshape(B, Ns, C)
+        else:
+            x_grp = x.reshape(B, H, W, g, Cg).transpose(0, 3, 1, 2, 4)
+            x_grp = x_grp.reshape(B * g, H, W, Cg)
+            grid = pos[..., ::-1].reshape(B * g, Hk, Wk, 2)  # (x, y)
+            samp = grid_sample(x_grp, grid, align_corners=True)
+            # (B*g, Hk, Wk, Cg) -> (B, Ns, C); groups fold back into channels
+            sampled = samp.reshape(B, g, Ns, Cg).transpose(0, 2, 1, 3)
+            sampled = sampled.reshape(B, Ns, C)
+
+        k = dense(sampled, C, name="proj_k")
+        v = dense(sampled, C, name="proj_v")
+
+        qh = q.reshape(B, H * W, heads, hc)
+        kh = k.reshape(B, Ns, heads, hc)
+        vh = v.reshape(B, Ns, heads, hc)
+
+        attn = jnp.einsum(
+            "bmhc,bnhc->bhmn", qh, kh, preferred_element_type=jnp.float32
+        )
+        attn = attn * scale
+
+        lepe = None
+        if self.use_pe and not self.no_off:
+            if self.dwc_pe:
+                lepe = conv2d(q, C, 3, padding=1, groups=C, name="rpe_dwc")
+            elif self.fixed_pe:
+                kv_h = self.q_size[0] // self.stride
+                kv_w = self.q_size[1] // self.stride
+                table = self.param(
+                    "rpe_table",
+                    trunc_normal_init(0.01),
+                    (heads, self.q_size[0] * self.q_size[1], kv_h * kv_w),
+                )
+                bias = resize_bilinear(
+                    table[None].transpose(0, 2, 3, 1),
+                    (H * W, Ns),
+                    align_corners=True,
+                ).transpose(0, 3, 1, 2)  # (1, heads, HW, Ns)
+                attn = attn + bias.astype(attn.dtype)
+            else:
+                qg = query_grid(H, W).reshape(1, H * W, 2)
+                qg = jnp.broadcast_to(qg, (B * g, H * W, 2))
+                disp = qg[:, :, None, :] - pos[:, None, :, :]
+                if self.log_cpb:
+                    disp = disp * 4.0
+                    disp = (
+                        jnp.sign(disp)
+                        * jnp.log2(jnp.abs(disp) + 1.0)
+                        / np.log2(8.0)
+                    )
+                    hb = dense(disp, 32, name="cpb_fc1")
+                    hb = nn.relu(hb)
+                    bias = dense(hb, h_g, use_bias=False, name="cpb_fc2")
+                    # (B*g, HW, Ns, h_g) -> (B, heads, HW, Ns)
+                    bias = bias.reshape(B, g, H * W, Ns, h_g)
+                    bias = bias.transpose(0, 1, 4, 2, 3).reshape(
+                        B, heads, H * W, Ns
+                    )
+                    attn = attn + bias.astype(attn.dtype)
+                else:
+                    th = self.q_size[0] * 2 - 1
+                    tw = self.q_size[1] * 2 - 1
+                    table = self.param(
+                        "rpe_table", trunc_normal_init(0.01), (heads, th, tw)
+                    )
+                    # (heads, th, tw) -> per-group NHWC maps (g, th, tw, h_g)
+                    tbl = table.reshape(g, h_g, th, tw).transpose(0, 2, 3, 1)
+                    tbl = jnp.broadcast_to(tbl[None], (B, g, th, tw, h_g))
+                    tbl = tbl.reshape(B * g, th, tw, h_g)
+                    disp = (disp * 0.5).reshape(B * g, H * W, Ns, 2)
+                    bias = grid_sample(
+                        tbl, disp[..., ::-1], align_corners=True
+                    )  # (B*g, HW, Ns, h_g)
+                    bias = bias.reshape(B, g, H * W, Ns, h_g)
+                    bias = bias.transpose(0, 1, 4, 2, 3).reshape(
+                        B, heads, H * W, Ns
+                    )
+                    attn = attn + bias.astype(attn.dtype)
+
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+
+        out = jnp.einsum(
+            "bhmn,bnhc->bmhc", attn, vh, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        out = out.reshape(B, H, W, C)
+        if lepe is not None:
+            out = out + lepe
+        y = dense(out, C, name="proj_out")
+        y = nn.Dropout(self.proj_drop, deterministic=deterministic)(y)
+        return y

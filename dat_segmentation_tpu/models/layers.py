@@ -1,0 +1,251 @@
+"""Core building blocks shared across the DAT model family.
+
+NHWC equivalents of the reference's block zoo (reference:
+models/utils/dat_blocks.py:229-348, models/backbones/dat.py:22-31). Because
+activations are NHWC, the reference's ``LayerNormProxy`` rearrange dance
+collapses to a plain LayerNorm over the trailing channel axis, and every
+1x1 conv becomes a Dense that feeds the MXU directly.
+
+All GELUs are exact (erf-based) to match torch ``nn.GELU`` — flax's default
+tanh approximation drifts ~1e-3 per block and compounds over 26 blocks.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# ---------------------------------------------------------------------------
+# torch-default initializers (reference modules rely on torch's implicit
+# kaiming-uniform init; reference reset_parameters at dat.py:280-285 iterates
+# Tensors, never matches nn.Conv2d, and is a silent no-op)
+# ---------------------------------------------------------------------------
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """kaiming_uniform(a=sqrt(5)) on an HWIO conv kernel (torch Conv2d default)."""
+    kh, kw, in_c, out_c = shape
+    fan_in = kh * kw * in_c
+    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_dense_kernel_init(key, shape, dtype=jnp.float32):
+    in_c, out_c = shape
+    bound = math.sqrt(1.0 / in_c) * math.sqrt(3.0)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def trunc_normal_init(std: float = 0.02):
+    """timm trunc_normal_: N(0, std) truncated to [-2std, 2std]."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+    return init
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    return nn.gelu(x, approximate=False)
+
+
+def conv2d(
+    x: jax.Array,
+    features: int,
+    kernel: int,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    groups: int = 1,
+    use_bias: bool = True,
+    name: str,
+) -> jax.Array:
+    """NHWC conv with torch-style int padding and torch-default init.
+
+    A helper (not a module) so the parameters land flat under ``name`` in
+    the caller's scope — keeps checkpoint trees 1:1 with torch state_dicts.
+    ``groups=features`` gives a depthwise conv; ``kernel=1`` is an MXU matmul.
+    """
+    in_c = x.shape[-1]
+    fan_in = kernel * kernel * (in_c // groups)
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=[(padding, padding)] * 2,
+        feature_group_count=groups,
+        use_bias=use_bias,
+        kernel_init=torch_conv_kernel_init,
+        bias_init=torch_bias_init(fan_in),
+        name=name,
+    )(x)
+
+
+def dense(
+    x: jax.Array, features: int, *, use_bias: bool = True, name: str
+) -> jax.Array:
+    """Dense over the trailing axis (== 1x1 conv on NHWC), torch init."""
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        kernel_init=torch_dense_kernel_init,
+        bias_init=torch_bias_init(x.shape[-1]),
+        name=name,
+    )(x)
+
+
+class LayerNorm2d(nn.Module):
+    """LayerNorm over the channel axis of an NHWC tensor.
+
+    Equivalent to the reference's ``LayerNormProxy`` (dat_blocks.py:229-240)
+    without the NCHW<->NHWC rearranges. eps matches torch (1e-5); statistics
+    in float32 regardless of activation dtype.
+    """
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return (y * scale + bias).astype(dtype)
+
+
+class BatchNorm2d(nn.Module):
+    """torch-default BatchNorm (momentum 0.1 -> flax 0.9, eps 1e-5).
+
+    Under pjit with a sharded batch axis, the batch statistics are global
+    (GSPMD inserts the cross-replica reduction), so this is SyncBN for free
+    — the reference needed NCCL SyncBN for the same effect
+    (configs/_base_/models/upernet_dat.py:2).
+    """
+
+    use_running_average: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        return nn.BatchNorm(
+            use_running_average=ura,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=x.dtype,
+        )(x)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm semantics: keep-prob rescaling)."""
+
+    rate: float
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: Optional[bool] = None):
+        deterministic = nn.merge_param(
+            "deterministic", self.deterministic, deterministic
+        )
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class LayerScale(nn.Module):
+    """Per-channel learnable gamma (reference: dat.py:22-31)."""
+
+    init_value: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param(
+            "gamma",
+            lambda key, shape: jnp.full(shape, self.init_value, jnp.float32),
+            (x.shape[-1],),
+        )
+        return x * gamma
+
+
+class Mlp(nn.Module):
+    """Token MLP (reference ``TransformerMLP``, dat_blocks.py:244-265)."""
+
+    expansion: int = 4
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        dim = x.shape[-1]
+        x = dense(x, dim * self.expansion, name="fc1")
+        x = gelu(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = dense(x, dim, name="fc2")
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class ConvMlp(nn.Module):
+    """DWConv MLP used by DAT++ (``use_dwc_mlps``; reference
+    ``TransformerMLPWithConv``, dat_blocks.py:316-348): 1x1 up-proj, residual
+    3x3 depthwise, GELU, 1x1 down-proj."""
+
+    expansion: int = 4
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        dim = x.shape[-1]
+        hidden = dim * self.expansion
+        x = dense(x, hidden, name="fc1")
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = x + conv2d(x, hidden, 3, padding=1, groups=hidden, name="dwc")
+        x = gelu(x)
+        x = dense(x, dim, name="fc2")
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class CmtConvMlp(nn.Module):
+    """CMT-style conv MLP with BatchNorms (reference
+    ``TransformerMLPWithConv_CMT``, dat_blocks.py:280-313)."""
+
+    expansion: int = 4
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, *, deterministic: bool = True, train: bool = False
+    ) -> jax.Array:
+        dim = x.shape[-1]
+        hidden = dim * self.expansion
+        x = dense(x, hidden, name="fc1")
+        x = gelu(x)
+        x = BatchNorm2d(name="bn1")(x, use_running_average=not train)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = x + conv2d(x, hidden, 3, padding=1, groups=hidden, name="dwc")
+        x = gelu(x)
+        x = BatchNorm2d(name="bn2")(x, use_running_average=not train)
+        x = dense(x, dim, name="fc2")
+        x = BatchNorm2d(name="bn3")(x, use_running_average=not train)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x

@@ -91,6 +91,18 @@ def adaptive_avg_pool(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     return y.astype(x.dtype)
 
 
+def resize_nearest(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """``F.interpolate(mode='nearest')`` for an NHWC tensor (torch index
+    rule: src = floor(dst * in / out)). Used by the FPN neck top-down path."""
+    B, H, W, C = x.shape
+    Ho, Wo = out_hw
+    if (H, W) == (Ho, Wo):
+        return x
+    rows = (np.arange(Ho) * H // Ho).astype(np.int32)
+    cols = (np.arange(Wo) * W // Wo).astype(np.int32)
+    return x[:, rows][:, :, cols]
+
+
 def avg_pool(x: jax.Array, kernel: int, stride: int) -> jax.Array:
     """Non-overlapping/strided average pool (NHWC), torch count_include_pad
     semantics with no padding — used by the ``no_off`` ablation

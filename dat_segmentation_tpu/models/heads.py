@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.interpolate import adaptive_avg_pool, resize_bilinear, resize_nearest
-from .layers import BatchNorm2d, LayerNorm2d, conv2d, dense
+from .layers import batch_norm, LayerNorm2d, conv2d, dense
 
 
 class ConvBNReLU(nn.Module):
@@ -34,7 +34,7 @@ class ConvBNReLU(nn.Module):
             x, self.features, self.kernel, padding=self.kernel // 2,
             use_bias=False, name="conv",
         )
-        x = BatchNorm2d(name="bn")(x, use_running_average=not train)
+        x = batch_norm(x, use_running_average=not train, name="bn")
         return nn.relu(x)
 
 
@@ -127,7 +127,7 @@ class UPerHead(nn.Module):
             jnp.concatenate(outs, axis=-1), train
         )
         x = nn.Dropout(self.dropout_ratio, deterministic=deterministic)(x)
-        return conv2d(x, self.num_classes, 1, name="cls_seg")
+        return dense(x, self.num_classes, name="cls_seg")
 
 
 class FCNHead(nn.Module):
@@ -145,7 +145,7 @@ class FCNHead(nn.Module):
         for i in range(self.num_convs):
             x = ConvBNReLU(self.channels, 3, name=f"conv_{i}")(x, train)
         x = nn.Dropout(self.dropout_ratio, deterministic=deterministic)(x)
-        return conv2d(x, self.num_classes, 1, name="cls_seg")
+        return dense(x, self.num_classes, name="cls_seg")
 
 
 class FPNNeck(nn.Module):
@@ -158,7 +158,7 @@ class FPNNeck(nn.Module):
     def __call__(self, feats: Sequence[jax.Array]) -> List[jax.Array]:
         n = len(feats)
         laterals = [
-            conv2d(feats[i], self.out_channels, 1, name=f"lateral_{i}")
+            dense(feats[i], self.out_channels, name=f"lateral_{i}")
             for i in range(n)
         ]
         for i in range(n - 1, 0, -1):
@@ -214,7 +214,7 @@ class FPNHead(nn.Module):
                 outputs[i], out.shape[1:3], align_corners=self.align_corners
             )
         out = nn.Dropout(self.dropout_ratio, deterministic=deterministic)(out)
-        return conv2d(out, self.num_classes, 1, name="cls_seg")
+        return dense(out, self.num_classes, name="cls_seg")
 
 
 class ClsHead(nn.Module):

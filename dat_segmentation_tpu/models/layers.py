@@ -128,7 +128,9 @@ class LayerNorm2d(nn.Module):
         return (y * scale + bias).astype(dtype)
 
 
-class BatchNorm2d(nn.Module):
+def batch_norm(
+    x: jax.Array, *, use_running_average: bool, name: str
+) -> jax.Array:
     """torch-default BatchNorm (momentum 0.1 -> flax 0.9, eps 1e-5).
 
     Under pjit with a sharded batch axis, the batch statistics are global
@@ -136,20 +138,13 @@ class BatchNorm2d(nn.Module):
     — the reference needed NCCL SyncBN for the same effect
     (configs/_base_/models/upernet_dat.py:2).
     """
-
-    use_running_average: Optional[bool] = None
-
-    @nn.compact
-    def __call__(self, x: jax.Array, use_running_average: Optional[bool] = None):
-        ura = nn.merge_param(
-            "use_running_average", self.use_running_average, use_running_average
-        )
-        return nn.BatchNorm(
-            use_running_average=ura,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=x.dtype,
-        )(x)
+    return nn.BatchNorm(
+        use_running_average=use_running_average,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=x.dtype,
+        name=name,
+    )(x)
 
 
 class DropPath(nn.Module):
@@ -240,12 +235,12 @@ class CmtConvMlp(nn.Module):
         hidden = dim * self.expansion
         x = dense(x, hidden, name="fc1")
         x = gelu(x)
-        x = BatchNorm2d(name="bn1")(x, use_running_average=not train)
+        x = batch_norm(x, use_running_average=not train, name="bn1")
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         x = x + conv2d(x, hidden, 3, padding=1, groups=hidden, name="dwc")
         x = gelu(x)
-        x = BatchNorm2d(name="bn2")(x, use_running_average=not train)
+        x = batch_norm(x, use_running_average=not train, name="bn2")
         x = dense(x, dim, name="fc2")
-        x = BatchNorm2d(name="bn3")(x, use_running_average=not train)
+        x = batch_norm(x, use_running_average=not train, name="bn3")
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         return x

@@ -47,8 +47,10 @@ def reference_points(Hk: int, Wk: int, dtype=jnp.float32) -> jax.Array:
     pixel centers divided by (size - 1), i.e. slightly inset from the border.
     Returns (Hk, Wk, 2) with channel 0 = y, 1 = x.
     """
-    ys = (jnp.arange(Hk, dtype=dtype) + 0.5) / (Hk - 1.0) * 2.0 - 1.0
-    xs = (jnp.arange(Wk, dtype=dtype) + 0.5) / (Wk - 1.0) * 2.0 - 1.0
+    # max(size-1, 1) guards the degenerate 1x1 grid (divides by zero in
+    # the reference, which never sees 1x1 feature maps in practice)
+    ys = (jnp.arange(Hk, dtype=dtype) + 0.5) / max(Hk - 1.0, 1.0) * 2.0 - 1.0
+    xs = (jnp.arange(Wk, dtype=dtype) + 0.5) / max(Wk - 1.0, 1.0) * 2.0 - 1.0
     return jnp.stack(jnp.meshgrid(ys, xs, indexing="ij"), axis=-1)
 
 
@@ -56,8 +58,8 @@ def query_grid(H: int, W: int, dtype=jnp.float32) -> jax.Array:
     """Normalized (y, x) query coordinates, corners at exactly +-1.
 
     Matches reference _get_q_grid (dat_blocks.py:123-136). (H, W, 2)."""
-    ys = jnp.arange(H, dtype=dtype) / (H - 1.0) * 2.0 - 1.0
-    xs = jnp.arange(W, dtype=dtype) / (W - 1.0) * 2.0 - 1.0
+    ys = jnp.arange(H, dtype=dtype) / max(H - 1.0, 1.0) * 2.0 - 1.0
+    xs = jnp.arange(W, dtype=dtype) / max(W - 1.0, 1.0) * 2.0 - 1.0
     return jnp.stack(jnp.meshgrid(ys, xs, indexing="ij"), axis=-1)
 
 

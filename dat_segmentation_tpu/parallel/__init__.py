@@ -1,0 +1,2 @@
+from .mesh import make_mesh, batch_sharding, replicated_sharding
+from .train_step import TrainState, create_train_state, make_train_step, make_eval_step

@@ -1,0 +1,52 @@
+"""Device mesh construction and sharding helpers.
+
+The scale-out design (replacing the reference's NCCL DDP + torchrun stack,
+new_train.py:83,116 and tools/dist_train.sh): a ``jax.sharding.Mesh`` with
+a ``data`` axis (optionally ``model`` for wide variants), params replicated,
+batches sharded on ``data``. Gradient all-reduce is compiled into the XLA
+program over ICI; nothing explicit to tune. Multi-host: call
+``jax.distributed.initialize()`` once per host before ``make_mesh``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Optional[Dict[str, int]] = None, devices=None
+) -> Mesh:
+    """Build a mesh; axis size -1 means 'all remaining devices'.
+
+    Defaults to a 1-D data mesh over every visible device (single chip
+    included — a trivial mesh keeps one code path for 1..N chips).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    shape = dict(shape or {"data": -1})
+    known = int(np.prod([v for v in shape.values() if v > 0])) or 1
+    for k, v in shape.items():
+        if v == -1:
+            shape[k] = len(devices) // known
+    total = int(np.prod(list(shape.values())))
+    assert total <= len(devices), (shape, len(devices))
+    arr = np.array(devices[:total]).reshape(list(shape.values()))
+    return Mesh(arr, tuple(shape.keys()))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-dim (batch) sharding."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device_put a host batch with the batch dim sharded on 'data'."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)

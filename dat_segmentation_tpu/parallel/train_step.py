@@ -1,0 +1,166 @@
+"""pjit-sharded train/eval steps.
+
+One compiled XLA program per step: forward (bf16 compute, fp32 params),
+loss, backward, AdamW update — with gradient reduction over the mesh's
+``data`` axis inserted by GSPMD. This replaces the reference's
+DDP-wrapped loop (new_train.py:183-216): no process groups, no bucketed
+all-reduce, no loss-scaling (bf16 needs none, unlike the fp16
+Fp16OptimizerHook at configs/dat/upn_tiny_160k_dp03_lr6.py:56-63).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.losses import (
+    cross_entropy_loss,
+    label_smoothing_cross_entropy,
+    segmentation_loss,
+    soft_target_cross_entropy,
+)
+from ..train.metrics import intersect_and_union
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+            batch_stats=(
+                new_batch_stats if new_batch_stats is not None else self.batch_stats
+            ),
+        )
+
+
+def create_train_state(
+    model, tx: optax.GradientTransformation, rng, sample_input
+) -> TrainState:
+    variables = model.init({"params": rng}, sample_input, train=False)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+
+
+def _cast(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def make_train_step(
+    model,
+    mesh: Mesh,
+    *,
+    task: str = "seg",
+    aux_weight: float = 0.4,
+    ignore_index: int = 255,
+    num_classes: int = 150,
+    compute_dtype=jnp.bfloat16,
+    label_smoothing: float = 0.1,
+    mixup: bool = False,
+) -> Callable:
+    """Build the jitted sharded train step.
+
+    batch: {'image': (B,H,W,3) f32, 'label': (B,H,W) i32 (seg) or
+    (B,)/(B,num_classes) (cls)}. Returns (state, metrics dict).
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": _cast(params, compute_dtype)}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"] if batch_stats else []
+        out, updates = model.apply(
+            variables,
+            batch["image"].astype(compute_dtype),
+            train=True,
+            deterministic=False,
+            rngs={"dropout": rng},
+            mutable=mutable,
+        )
+        metrics = {}
+        if task == "seg":
+            logits, aux = out if isinstance(out, tuple) else (out, None)
+            loss = segmentation_loss(
+                logits,
+                aux,
+                batch["label"],
+                aux_weight=aux_weight,
+                ignore_index=ignore_index,
+            )
+            pred = jnp.argmax(logits, axis=-1)
+            inter, union, _, _ = intersect_and_union(
+                pred, batch["label"], num_classes, ignore_index=ignore_index
+            )
+            metrics.update(inter=inter, union=union)
+        else:
+            labels = batch["label"]
+            if mixup and labels.ndim == 2:
+                loss = soft_target_cross_entropy(out, labels)
+                hard = jnp.argmax(labels, axis=-1)
+            else:
+                loss = label_smoothing_cross_entropy(
+                    out, labels, smoothing=label_smoothing
+                )
+                hard = labels
+            acc = jnp.mean((jnp.argmax(out, -1) == hard).astype(jnp.float32))
+            metrics["acc1"] = acc
+        new_stats = updates.get("batch_stats", batch_stats) if mutable else batch_stats
+        return loss, (new_stats, metrics)
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, rng)
+        grads = _cast(grads, jnp.float32)
+        state = state.apply_gradients(grads, new_stats)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return state, metrics
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),  # state replicated, batch sharded
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(model, mesh: Mesh, *, compute_dtype=jnp.bfloat16):
+    """Jitted sharded forward returning logits (eval/TTA building block)."""
+
+    def fwd(params, batch_stats, image):
+        variables = {"params": _cast(params, compute_dtype)}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(
+            variables, image.astype(compute_dtype), train=False
+        )
+        return out.astype(jnp.float32) if hasattr(out, "astype") else out
+
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(fwd, in_shardings=(None, None, data))

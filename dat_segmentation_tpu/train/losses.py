@@ -1,0 +1,67 @@
+"""Losses: ignore-index cross-entropy (+ weighted aux), soft-target CE,
+label smoothing.
+
+Reference semantics: CE with ignore_index=255 and a 0.4-weighted auxiliary
+loss (new_train.py:143,202-207); SoftTargetCrossEntropy for mixup and
+label-smoothing CE otherwise (train_backbone.py:217-222). Losses are mean
+over valid (non-ignored) pixels, matching torch's default reduction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    *,
+    ignore_index: int = 255,
+) -> jax.Array:
+    """Pixel CE, mean over non-ignored pixels.
+
+    logits: (..., num_classes) float; labels: (...) int.
+    """
+    num_classes = logits.shape[-1]
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    count = jnp.maximum(valid.sum(), 1)
+    return nll.sum() / count
+
+
+def segmentation_loss(
+    logits: jax.Array,
+    aux_logits,
+    labels: jax.Array,
+    *,
+    aux_weight: float = 0.4,
+    ignore_index: int = 255,
+) -> jax.Array:
+    """main CE + aux_weight * aux CE (reference new_train.py:202-207)."""
+    loss = cross_entropy_loss(logits, labels, ignore_index=ignore_index)
+    if aux_logits is not None:
+        loss = loss + aux_weight * cross_entropy_loss(
+            aux_logits, labels, ignore_index=ignore_index
+        )
+    return loss
+
+
+def soft_target_cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """timm SoftTargetCrossEntropy: mean over batch of -sum(t * logsoftmax)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.mean(jnp.sum(-targets * logp, axis=-1))
+
+
+def label_smoothing_cross_entropy(
+    logits: jax.Array, labels: jax.Array, *, smoothing: float = 0.1
+) -> jax.Array:
+    """torch CrossEntropyLoss(label_smoothing=s) semantics."""
+    n = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    smooth = -logp.mean(axis=-1)
+    return jnp.mean((1.0 - smoothing) * nll + smoothing * smooth)

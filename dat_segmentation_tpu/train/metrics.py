@@ -1,0 +1,108 @@
+"""Metrics: streaming mIoU (psum-reducible) and top-k accuracy.
+
+Reference: per-class intersection/union bincounts with ignore-index
+masking accumulated across iterations (new_train.py:276-309) and
+mixup-aware top-k accuracy (train_backbone.py:38-71). All counters are
+plain arrays, so under pjit they reduce with jax.lax.psum / jnp sums and
+gather across hosts for distributed eval (the reference needed explicit
+NCCL all_reduce / result collection, tools/test.py:290-298).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def intersect_and_union(
+    pred: jax.Array,
+    label: jax.Array,
+    num_classes: int,
+    *,
+    ignore_index: int = 255,
+    valid_mask: jax.Array | None = None,
+):
+    """Per-class (intersection, union, pred_area, label_area) counts.
+
+    pred/label: int arrays of identical shape. Returns four (num_classes,)
+    int32 arrays; sums of these across any sharding/TTA/batch dims are
+    exact, so accumulate then reduce.
+    """
+    valid = label != ignore_index
+    if valid_mask is not None:
+        valid = valid & valid_mask
+    pred = jnp.where(valid, pred, num_classes)  # park invalid in extra bin
+    label = jnp.where(valid, label, num_classes)
+    match = jnp.where(pred == label, pred, num_classes)
+
+    def hist(x):
+        return jnp.bincount(x.reshape(-1), length=num_classes + 1)[
+            :num_classes
+        ]
+
+    inter = hist(match)
+    area_pred = hist(pred)
+    area_label = hist(label)
+    union = area_pred + area_label - inter
+    return inter, union, area_pred, area_label
+
+
+def miou_from_totals(inter, union, *, eps: float = 1e-10):
+    """Mean IoU over classes that appear (union > 0), like mmseg nanmean."""
+    inter = np.asarray(inter, np.float64)
+    union = np.asarray(union, np.float64)
+    present = union > 0
+    iou = np.where(present, inter / np.maximum(union, eps), np.nan)
+    return float(np.nanmean(iou)), iou
+
+
+@dataclass
+class StreamingIoU:
+    """Host-side accumulator for streaming train/val mIoU
+    (reference new_train.py:276-309)."""
+
+    num_classes: int
+    ignore_index: int = 255
+
+    def __post_init__(self):
+        self.reset()
+
+    def reset(self):
+        self.inter = np.zeros(self.num_classes, np.int64)
+        self.union = np.zeros(self.num_classes, np.int64)
+        self.area_label = np.zeros(self.num_classes, np.int64)
+
+    def update(self, pred, label, valid_mask=None):
+        i, u, _, al = intersect_and_union(
+            jnp.asarray(pred),
+            jnp.asarray(label),
+            self.num_classes,
+            ignore_index=self.ignore_index,
+            valid_mask=None if valid_mask is None else jnp.asarray(valid_mask),
+        )
+        self.inter += np.asarray(i, np.int64)
+        self.union += np.asarray(u, np.int64)
+        self.area_label += np.asarray(al, np.int64)
+
+    def miou(self) -> float:
+        return miou_from_totals(self.inter, self.union)[0]
+
+    def accuracy(self) -> float:
+        total = self.area_label.sum()
+        return float(self.inter.sum() / max(total, 1))
+
+
+def topk_accuracy(logits, labels, ks=(1, 5)):
+    """Top-k accuracy; labels may be soft (mixup) -> argmax first
+    (reference train_backbone.py:38-71)."""
+    if labels.ndim == logits.ndim:
+        labels = jnp.argmax(labels, axis=-1)
+    order = jnp.argsort(logits, axis=-1)[..., ::-1]
+    out = {}
+    for k in ks:
+        hit = (order[..., :k] == labels[..., None]).any(axis=-1)
+        out[k] = jnp.mean(hit.astype(jnp.float32))
+    return out

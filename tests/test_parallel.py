@@ -1,0 +1,148 @@
+"""Sharded train/eval step on the virtual 8-device CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dat_segmentation_tpu.configs import get_config
+from dat_segmentation_tpu.models import build_model
+from dat_segmentation_tpu.parallel import (
+    TrainState,
+    batch_sharding,
+    create_train_state,
+    make_eval_step,
+    make_mesh,
+    make_train_step,
+)
+from dat_segmentation_tpu.parallel.mesh import shard_batch
+from dat_segmentation_tpu.train import make_optimizer, warmup_poly_schedule
+
+
+def _tiny_seg_model():
+    cfg = get_config("upn_tiny_160k_dp03_lr6")
+    bb = dataclasses.replace(
+        cfg.model.backbone,
+        depths=(1, 1, 1, 1),
+        dims=(16, 32, 64, 128),
+        dim_stem=16,
+        heads=(2, 2, 4, 4),
+        groups=(1, 2, 2, 4),
+        stage_spec=(("D",), ("D",), ("X",), ("D",)),
+        drop_path_rate=0.1,
+    )
+    model_cfg = dataclasses.replace(
+        cfg.model,
+        backbone=bb,
+        decode_head=dataclasses.replace(cfg.model.decode_head, channels=32),
+        auxiliary_head=dataclasses.replace(
+            cfg.model.auxiliary_head, channels=16
+        ),
+    )
+    return build_model(model_cfg), cfg
+
+
+def test_sharded_train_step_runs_and_replicates():
+    mesh = make_mesh({"data": 8})
+    model, cfg = _tiny_seg_model()
+    sched = warmup_poly_schedule(1e-2, 100, warmup_iters=0)
+    sample = jnp.zeros((8, 64, 64, 3))
+
+    state = create_train_state(
+        model,
+        make_optimizer(sched, None, weight_decay=0.01),
+        jax.random.PRNGKey(0),
+        sample,
+    )
+    # optimizer needs params for the decay mask -> rebuild with params
+    tx = make_optimizer(sched, state.params, weight_decay=0.01)
+    state = TrainState(
+        step=state.step,
+        params=state.params,
+        opt_state=tx.init(state.params),
+        batch_stats=state.batch_stats,
+        tx=tx,
+    )
+
+    step = make_train_step(
+        model, mesh, task="seg", num_classes=150, compute_dtype=jnp.float32
+    )
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.randn(8, 64, 64, 3).astype(np.float32)),
+        "label": jnp.asarray(rng.randint(0, 150, (8, 64, 64))),
+    }
+    batch = shard_batch(mesh, batch)
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert metrics["inter"].shape == (150,)
+    # params actually updated
+    p1 = jax.tree.leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    # second step (jit cache) works
+    state, metrics2 = step(state, batch, jax.random.PRNGKey(1))
+    assert int(state.step) == 2
+
+
+def test_sharded_matches_single_device():
+    """DP over 8 devices must equal the same step on 1 device (bitwise-ish)."""
+    model, _ = _tiny_seg_model()
+    sched = warmup_poly_schedule(1e-3, 100, warmup_iters=0)
+    sample = jnp.zeros((8, 64, 64, 3))
+
+    def fresh_state():
+        st = create_train_state(
+            model,
+            make_optimizer(sched, None),
+            jax.random.PRNGKey(0),
+            sample,
+        )
+        tx = make_optimizer(sched, st.params)
+        return TrainState(
+            step=st.step, params=st.params, opt_state=tx.init(st.params),
+            batch_stats=st.batch_stats, tx=tx,
+        )
+
+    rng = np.random.RandomState(1)
+    batch = {
+        "image": jnp.asarray(rng.randn(8, 64, 64, 3).astype(np.float32)),
+        "label": jnp.asarray(rng.randint(0, 150, (8, 64, 64))),
+    }
+
+    mesh8 = make_mesh({"data": 8})
+    mesh1 = make_mesh({"data": 1}, devices=jax.devices()[:1])
+
+    outs = {}
+    for name, mesh in [("dp8", mesh8), ("dp1", mesh1)]:
+        step = make_train_step(
+            model, mesh, task="seg", num_classes=150,
+            compute_dtype=jnp.float32,
+        )
+        st, m = step(fresh_state(), shard_batch(mesh, batch), jax.random.PRNGKey(2))
+        outs[name] = (
+            np.asarray(jax.tree.leaves(st.params)[0]),
+            float(m["loss"]),
+        )
+    np.testing.assert_allclose(outs["dp8"][1], outs["dp1"][1], rtol=1e-5)
+    np.testing.assert_allclose(
+        outs["dp8"][0], outs["dp1"][0], rtol=1e-4, atol=1e-6
+    )
+
+
+def test_eval_step_sharded():
+    mesh = make_mesh({"data": 8})
+    model, _ = _tiny_seg_model()
+    sample = jnp.zeros((8, 64, 64, 3))
+    state = create_train_state(
+        model,
+        make_optimizer(warmup_poly_schedule(1e-3, 10), None),
+        jax.random.PRNGKey(0),
+        sample,
+    )
+    fwd = make_eval_step(model, mesh, compute_dtype=jnp.float32)
+    img = shard_batch(mesh, {"image": jnp.zeros((8, 64, 64, 3))})["image"]
+    logits = fwd(state.params, state.batch_stats, img)
+    assert logits.shape == (8, 64, 64, 150)

@@ -1,0 +1,175 @@
+"""Segmentation inference: whole-image, sliding-window, multi-scale+flip TTA.
+
+Replaces the mmseg test path (reference: tools/test.py:143-148,264-298 and
+mmseg simple_test/aug_test): per image, resize (keep-ratio) to each TTA
+scale, run whole or slide inference, resize softmax probabilities back to
+the original shape, average over scales and flips.
+
+TPU/XLA design: static shapes via padding buckets. Each distinct padded
+shape compiles once; val images are padded up to bucket multiples and the
+logits sliced back before the (host-side cheap) final resize. Sliding
+window reuses ONE compiled 512x512 forward for every window of every
+image at every scale.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from ..data.ade20k import IMG_NORM_MEAN, IMG_NORM_STD
+from ..ops.interpolate import resize_bilinear
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+class SegInferencer:
+    """Wraps a flax segmentor for deployment-style inference.
+
+    Args:
+      model: EncoderDecoder module.
+      variables: {'params': ..., 'batch_stats': ...}.
+      num_classes: classes in the logits.
+      mode: 'whole' | 'slide' (reference test_cfg mode,
+        configs/_base_/models/upernet_dat.py:69).
+      crop_size/stride: sliding-window geometry (W,H)=(512,512)/(341,341)
+        in mmseg's ADE recipes.
+      bucket: pad-to multiple for whole-mode static shapes.
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        *,
+        num_classes: int = 150,
+        mode: str = "whole",
+        crop_size: Tuple[int, int] = (512, 512),
+        stride: Tuple[int, int] = (341, 341),
+        bucket: int = 128,
+        compute_dtype=jnp.bfloat16,
+        align_corners: bool = False,
+    ):
+        self.model = model
+        self.num_classes = num_classes
+        self.mode = mode
+        self.crop_size = crop_size
+        self.stride = stride
+        self.bucket = bucket
+        self.align_corners = align_corners
+        self.compute_dtype = compute_dtype
+        self.variables = jax.tree.map(
+            lambda v: v.astype(compute_dtype)
+            if jnp.issubdtype(v.dtype, jnp.floating)
+            else v,
+            variables,
+        )
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _fwd(image):
+            out = self.model.apply(
+                self.variables, image.astype(compute_dtype), train=False
+            )
+            return out.astype(jnp.float32)
+
+        self._fwd = _fwd
+
+    # -- single forwards ---------------------------------------------------
+
+    def logits_whole(self, img: np.ndarray) -> np.ndarray:
+        """img: (H, W, 3) normalized float32. Returns (H, W, C) float32."""
+        h, w = img.shape[:2]
+        hb, wb = _round_up(h, self.bucket), _round_up(w, self.bucket)
+        padded = np.zeros((hb, wb, 3), np.float32)
+        padded[:h, :w] = img
+        logits = self._fwd(jnp.asarray(padded[None]))
+        return np.asarray(logits[0, :h, :w])
+
+    def logits_slide(self, img: np.ndarray) -> np.ndarray:
+        """mmseg 'slide' mode: 512^2 crops at stride 341, averaged where
+        overlapping. One compiled forward reused for every window."""
+        h, w = img.shape[:2]
+        cw, ch = self.crop_size
+        sw, sh = self.stride
+        # operate on an image padded up to at least one crop
+        hp, wp = max(h, ch), max(w, cw)
+        padded = np.zeros((hp, wp, 3), np.float32)
+        padded[:h, :w] = img
+        rows = max(math.ceil((hp - ch) / sh) + 1, 1)
+        cols = max(math.ceil((wp - cw) / sw) + 1, 1)
+        total = np.zeros((hp, wp, self.num_classes), np.float32)
+        count = np.zeros((hp, wp, 1), np.float32)
+        for r in range(rows):
+            for c in range(cols):
+                y1 = min(r * sh, hp - ch)
+                x1 = min(c * sw, wp - cw)
+                crop = padded[y1 : y1 + ch, x1 : x1 + cw]
+                out = np.asarray(self._fwd(jnp.asarray(crop[None]))[0])
+                total[y1 : y1 + ch, x1 : x1 + cw] += out
+                count[y1 : y1 + ch, x1 : x1 + cw] += 1.0
+        return (total / count)[:h, :w]
+
+    def logits(self, img: np.ndarray) -> np.ndarray:
+        if self.mode == "slide":
+            return self.logits_slide(img)
+        return self.logits_whole(img)
+
+    # -- TTA ----------------------------------------------------------------
+
+    def predict(
+        self,
+        raw_img: np.ndarray,
+        *,
+        img_scale: Tuple[int, int] = (2048, 512),
+        ratios: Sequence[float] = (1.0,),
+        flip: bool = False,
+        keep_ratio: bool = True,
+        ori_shape: Optional[Tuple[int, int]] = None,
+    ) -> np.ndarray:
+        """Full test-time pipeline on a RAW (unnormalized RGB uint8) image.
+
+        Averages softmax probabilities over scales x flips at the original
+        resolution (mmseg aug_test semantics; MS ratios hard-coded at
+        tools/test.py:143-148 are (0.5..1.75)).
+
+        Returns (H_ori, W_ori) int32 class map.
+        """
+        ori = ori_shape or raw_img.shape[:2]
+        prob_sum = np.zeros((*ori, self.num_classes), np.float32)
+        n = 0
+        for ratio in ratios:
+            tw, th = int(img_scale[0] * ratio), int(img_scale[1] * ratio)
+            if keep_ratio:
+                h, w = raw_img.shape[:2]
+                f = min(tw / w, th / h)
+                rw, rh = int(w * f + 0.5), int(h * f + 0.5)
+            else:
+                rw, rh = tw, th
+            resized = cv2.resize(
+                raw_img, (rw, rh), interpolation=cv2.INTER_LINEAR
+            )
+            norm = (resized.astype(np.float32) - IMG_NORM_MEAN) / IMG_NORM_STD
+            for do_flip in ((False, True) if flip else (False,)):
+                inp = norm[:, ::-1] if do_flip else norm
+                logits = self.logits(np.ascontiguousarray(inp))
+                if do_flip:
+                    logits = logits[:, ::-1]
+                probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+                probs = resize_bilinear(
+                    probs[None], ori, align_corners=self.align_corners
+                )[0]
+                prob_sum += np.asarray(probs, np.float32)
+                n += 1
+        return np.argmax(prob_sum / n, axis=-1).astype(np.int32)

@@ -1,0 +1,161 @@
+"""Data pipeline tests: transform parity with the reference numerics,
+loader batching/sharding semantics, dataset layout discovery."""
+
+import random
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from dat_segmentation_tpu.data.ade20k import (
+    ADE20KDataset,
+    IMG_NORM_MEAN,
+    IMG_NORM_STD,
+    normalize,
+    pad_to_size,
+    photometric_distortion,
+    random_crop,
+    reduce_zero_label,
+    resize,
+    train_transform,
+    val_transform,
+)
+from dat_segmentation_tpu.data.loader import DataLoader
+
+from reference_harness import REFERENCE
+
+
+def _fake_img(h=300, w=400, seed=0):
+    return np.random.RandomState(seed).randint(0, 255, (h, w, 3), np.uint8)
+
+
+def _fake_mask(h=300, w=400, seed=1, classes=150):
+    return np.random.RandomState(seed).randint(
+        0, classes, (h, w)
+    ).astype(np.int32)
+
+
+def test_reduce_zero_label():
+    mask = np.array([[0, 1, 2, 255, 150]], np.uint8)
+    out = reduce_zero_label(mask)
+    # 0 -> 255(ignore), k -> k-1, original 255 wraps to 254 then ignore
+    assert out.tolist() == [[255, 0, 1, 255, 149]]
+
+
+def test_val_transform_matches_reference_numerics():
+    """val: resize to exactly (2048, 512), normalize, pad — deterministic,
+    reproduced here with raw cv2 like datasets/ade20k.py:317-331."""
+    img, mask = _fake_img(), _fake_mask()
+    got_img, got_mask = val_transform(img, mask)
+    ref_img = cv2.resize(img, (2048, 512), interpolation=cv2.INTER_LINEAR)
+    ref_mask = cv2.resize(
+        mask, (2048, 512), interpolation=cv2.INTER_NEAREST
+    )
+    ref_img = (ref_img.astype(np.float32) - IMG_NORM_MEAN) / IMG_NORM_STD
+    np.testing.assert_allclose(got_img, ref_img, atol=1e-5)
+    np.testing.assert_array_equal(got_mask, ref_mask)
+
+
+def test_val_transform_keep_ratio():
+    img, mask = _fake_img(300, 400), _fake_mask(300, 400)
+    got_img, got_mask = val_transform(img, mask, keep_ratio=True)
+    # scale factor min(2048/400, 512/300) = 512/300
+    f = 512 / 300
+    rw, rh = int(400 * f + 0.5), int(300 * f + 0.5)
+    assert got_mask.shape == (max(rh, 512), max(rw, 512))
+    # padded region keeps ignore label
+    assert (got_mask[:, rw:] == 255).all() or rw >= got_mask.shape[1]
+
+
+def test_train_transform_invariants():
+    rng = random.Random(0)
+    img, mask = _fake_img(260, 340), _fake_mask(260, 340)
+    for seed in range(5):
+        rng = random.Random(seed)
+        out_img, out_mask = train_transform(img, mask, rng)
+        assert out_img.shape == (512, 512, 3)
+        assert out_mask.shape == (512, 512)
+        assert out_img.dtype == np.float32
+        assert out_mask.dtype == np.int32
+        valid = out_mask != 255
+        if valid.any():
+            assert out_mask[valid].min() >= 0
+            assert out_mask[valid].max() < 150
+        # normalized range sanity
+        assert np.abs(out_img).max() < 5.0
+
+
+def test_random_crop_cat_max_ratio():
+    """Crop retries until no class dominates > 75% (when possible)."""
+    img = _fake_img(600, 600)
+    mask = np.zeros((600, 600), np.int32)
+    mask[:, 300:] = 1  # half/half; any 512-crop has both classes
+    rng = random.Random(0)
+    _, mc = random_crop(img, mask, rng, (512, 512))
+    valid = mc != 255
+    _, counts = np.unique(mc[valid], return_counts=True)
+    assert counts.max() / counts.sum() < 0.75 + 1e-6
+
+
+def test_photometric_distortion_range():
+    img = _fake_img()
+    for seed in range(5):
+        out = photometric_distortion(img, random.Random(seed))
+        assert out.min() >= 0 and out.max() <= 255
+
+
+def _make_layout(tmp_path: Path, n=6, alt=False):
+    if alt:
+        img_dir = tmp_path / "train" / "img"
+        ann_dir = tmp_path / "train" / "annotations"
+    else:
+        img_dir = tmp_path / "images" / "training"
+        ann_dir = tmp_path / "annotations" / "training"
+    img_dir.mkdir(parents=True)
+    ann_dir.mkdir(parents=True)
+    for i in range(n):
+        img = _fake_img(100 + i, 120, seed=i)
+        mask = np.random.RandomState(i).randint(0, 20, (100 + i, 120), np.uint8)
+        cv2.imwrite(str(img_dir / f"im_{i}.jpg"), img)
+        cv2.imwrite(str(ann_dir / f"im_{i}.png"), mask)
+    return tmp_path
+
+
+@pytest.mark.parametrize("alt", [False, True])
+def test_dataset_layouts(tmp_path, alt):
+    root = _make_layout(tmp_path, n=4, alt=alt)
+    ds = ADE20KDataset(root, "train", crop_size=(128, 128))
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["image"].shape == (128, 128, 3)
+    assert item["label"].shape == (128, 128)
+
+
+def test_dataset_missing_layout_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        ADE20KDataset(tmp_path, "train")
+
+
+def test_loader_batching_and_sharding(tmp_path):
+    root = _make_layout(tmp_path, n=6)
+    ds = ADE20KDataset(root, "train", crop_size=(64, 64))
+    loader = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True, seed=3)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["image"].shape == (2, 64, 64, 3)
+    assert batches[0]["label"].shape == (2, 64, 64)
+
+    # sharded loaders partition the (padded) index space
+    l0 = DataLoader(ds, batch_size=2, shard_info=(0, 2), seed=1)
+    l1 = DataLoader(ds, batch_size=2, shard_info=(1, 2), seed=1)
+    i0 = l0._epoch_indices(0)
+    i1 = l1._epoch_indices(0)
+    assert len(i0) == len(i1) == 3
+    assert set(i0) | set(i1) == set(range(6))
+
+    # deterministic per-epoch shuffling, different across epochs
+    ls = DataLoader(ds, batch_size=2, shuffle=True, seed=7)
+    assert (ls._epoch_indices(0) == ls._epoch_indices(0)).all()
+    assert not (ls._epoch_indices(0) == ls._epoch_indices(1)).all()

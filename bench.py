@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 
-BATCH = 8
+BATCH = 4
 SHAPE = (512, 512)
 V5E_PEAK_FLOPS = 197e12  # bf16 peak, TPU v5e (public spec)
 

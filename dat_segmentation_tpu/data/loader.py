@@ -104,7 +104,7 @@ def _collate(items):
     out = {}
     for key in items[0]:
         vals = [it[key] for it in items]
-        if isinstance(vals[0], np.ndarray):
+        if isinstance(vals[0], (np.ndarray, np.generic)):
             out[key] = np.stack(vals)
         else:
             out[key] = vals
@@ -123,8 +123,9 @@ def device_prefetch(iterator, put_fn, depth: int = 2):
         try:
             for batch in iterator:
                 q.put(put_fn(batch))
-        finally:
             q.put(sentinel)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -132,4 +133,6 @@ def device_prefetch(iterator, put_fn, depth: int = 2):
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

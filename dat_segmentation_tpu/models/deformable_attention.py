@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.grid_sample import grid_sample
+from ..ops.grid_sample import grid_sample, grid_sample_points_mxu, lerp_weight_matrix
 from ..ops.interpolate import avg_pool, resize_bilinear
 from .layers import conv2d, dense, LayerNorm2d, gelu, trunc_normal_init
 
@@ -137,11 +137,16 @@ class DeformableAttention(nn.Module):
         else:
             x_grp = x.reshape(B, H, W, g, Cg).transpose(0, 3, 1, 2, 4)
             x_grp = x_grp.reshape(B * g, H, W, Cg)
-            grid = pos[..., ::-1].reshape(B * g, Hk, Wk, 2)  # (x, y)
-            samp = grid_sample(x_grp, grid, align_corners=True)
-            # (B*g, Hk, Wk, Cg) -> (B, Ns, C); groups fold back into channels
-            sampled = samp.reshape(B, g, Ns, Cg).transpose(0, 2, 1, 3)
-            sampled = sampled.reshape(B, Ns, C)
+            if self.kernel_impl == "gather":
+                grid = pos[..., ::-1].reshape(B * g, Hk, Wk, 2)  # (x, y)
+                samp = grid_sample(x_grp, grid, align_corners=True)
+                samp = samp.reshape(B, g, Ns, Cg)
+            else:
+                # MXU path: bilinear gather as S_y @ x @ S_x^T matmuls
+                samp = grid_sample_points_mxu(x_grp, pos)
+                samp = samp.reshape(B, g, Ns, Cg)
+            # (B, g, Ns, Cg) -> (B, Ns, C); groups fold back into channels
+            sampled = samp.transpose(0, 2, 1, 3).reshape(B, Ns, C)
 
         k = dense(sampled, C, name="proj_k")
         v = dense(sampled, C, name="proj_v")
@@ -173,37 +178,41 @@ class DeformableAttention(nn.Module):
                     align_corners=True,
                 ).transpose(0, 3, 1, 2)  # (1, heads, HW, Ns)
                 attn = attn + bias.astype(attn.dtype)
-            else:
+            elif self.log_cpb:
                 qg = query_grid(H, W).reshape(1, H * W, 2)
                 qg = jnp.broadcast_to(qg, (B * g, H * W, 2))
                 disp = qg[:, :, None, :] - pos[:, None, :, :]
-                if self.log_cpb:
-                    disp = disp * 4.0
-                    disp = (
-                        jnp.sign(disp)
-                        * jnp.log2(jnp.abs(disp) + 1.0)
-                        / np.log2(8.0)
-                    )
-                    hb = dense(disp, 32, name="cpb_fc1")
-                    hb = nn.relu(hb)
-                    bias = dense(hb, h_g, use_bias=False, name="cpb_fc2")
-                    # (B*g, HW, Ns, h_g) -> (B, heads, HW, Ns)
-                    bias = bias.reshape(B, g, H * W, Ns, h_g)
-                    bias = bias.transpose(0, 1, 4, 2, 3).reshape(
-                        B, heads, H * W, Ns
-                    )
-                    attn = attn + bias.astype(attn.dtype)
-                else:
-                    th = self.q_size[0] * 2 - 1
-                    tw = self.q_size[1] * 2 - 1
-                    table = self.param(
-                        "rpe_table", trunc_normal_init(0.01), (heads, th, tw)
-                    )
-                    # (heads, th, tw) -> per-group NHWC maps (g, th, tw, h_g)
+                disp = disp * 4.0
+                disp = (
+                    jnp.sign(disp)
+                    * jnp.log2(jnp.abs(disp) + 1.0)
+                    / np.log2(8.0)
+                )
+                hb = dense(disp, 32, name="cpb_fc1")
+                hb = nn.relu(hb)
+                bias = dense(hb, h_g, use_bias=False, name="cpb_fc2")
+                # (B*g, HW, Ns, h_g) -> (B, heads, HW, Ns)
+                bias = bias.reshape(B, g, H * W, Ns, h_g)
+                bias = bias.transpose(0, 1, 4, 2, 3).reshape(
+                    B, heads, H * W, Ns
+                )
+                attn = attn + bias.astype(attn.dtype)
+            else:
+                # continuous RPE: bilinearly sample a learned per-head
+                # (2*q_h-1, 2*q_w-1) table at 0.5 * (query - sample)
+                # displacements (reference dat_blocks.py:198-214)
+                th = self.q_size[0] * 2 - 1
+                tw = self.q_size[1] * 2 - 1
+                table = self.param(
+                    "rpe_table", trunc_normal_init(0.01), (heads, th, tw)
+                )
+                if self.kernel_impl == "gather":
+                    qg = query_grid(H, W).reshape(1, H * W, 2)
+                    qg = jnp.broadcast_to(qg, (B * g, H * W, 2))
+                    disp = (qg[:, :, None, :] - pos[:, None, :, :]) * 0.5
                     tbl = table.reshape(g, h_g, th, tw).transpose(0, 2, 3, 1)
                     tbl = jnp.broadcast_to(tbl[None], (B, g, th, tw, h_g))
                     tbl = tbl.reshape(B * g, th, tw, h_g)
-                    disp = (disp * 0.5).reshape(B * g, H * W, Ns, 2)
                     bias = grid_sample(
                         tbl, disp[..., ::-1], align_corners=True
                     )  # (B*g, HW, Ns, h_g)
@@ -211,7 +220,39 @@ class DeformableAttention(nn.Module):
                     bias = bias.transpose(0, 1, 4, 2, 3).reshape(
                         B, heads, H * W, Ns
                     )
-                    attn = attn + bias.astype(attn.dtype)
+                else:
+                    # MXU path: the displacement separates — dy depends on
+                    # (query row, sample) and dx on (query col, sample) —
+                    # so the bilinear table lookup factorizes into two
+                    # dense matmuls over (th,)/(tw,) tap weights and never
+                    # materializes (HW x Ns) coordinates.
+                    qg2 = query_grid(H, W)  # (H, W, 2)
+                    dy = (
+                        qg2[:, 0, 0][None, :, None] - pos[..., 0][:, None, :]
+                    ) * 0.5  # (B*g, H, Ns)
+                    dx = (
+                        qg2[0, :, 1][None, :, None] - pos[..., 1][:, None, :]
+                    ) * 0.5  # (B*g, W, Ns)
+                    fy = (dy + 1.0) * 0.5 * (th - 1)
+                    fx = (dx + 1.0) * 0.5 * (tw - 1)
+                    dt = x.dtype
+                    wy = lerp_weight_matrix(fy, th, dt).reshape(
+                        B, g, H, Ns, th
+                    )
+                    wx = lerp_weight_matrix(fx, tw, dt).reshape(
+                        B, g, W, Ns, tw
+                    )
+                    tblg = table.reshape(g, h_g, th, tw).astype(dt)
+                    m1 = jnp.einsum(
+                        "bgynt,ghtu->bgynuh", wy, tblg,
+                        preferred_element_type=jnp.float32,
+                    ).astype(dt)  # (B, g, H, Ns, tw, h_g)
+                    bias = jnp.einsum(
+                        "bgynuh,bgwnu->bghywn", m1, wx,
+                        preferred_element_type=jnp.float32,
+                    )  # (B, g, h_g, H, W, Ns)
+                    bias = bias.reshape(B, heads, H * W, Ns)
+                attn = attn + bias.astype(attn.dtype)
 
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)

@@ -90,6 +90,58 @@ def grid_sample(
     return out.astype(x.dtype)
 
 
+def lerp_weight_matrix(
+    coords: jax.Array, size: int, dtype=jnp.float32
+) -> jax.Array:
+    """(..., size) bilinear tap weights for unnormalized ``coords``.
+
+    Row r has weight (1-t) at floor(c) and t at floor(c)+1; taps falling
+    outside [0, size) get zero weight — exactly ATen's zeros padding.
+    Multiplying by this matrix IS a bilinear gather, but it runs on the
+    MXU as a dense matmul instead of a scalarizing TPU gather (the reason
+    the composite grid_sample path is ~1000x off roofline on v5e).
+    """
+    i0 = jnp.floor(coords)
+    t = (coords - i0)[..., None]
+    i0 = i0.astype(jnp.int32)[..., None]
+    taps = jax.lax.broadcasted_iota(
+        jnp.int32, (1,) * coords.ndim + (size,), coords.ndim
+    )
+    w = jnp.where(taps == i0, 1.0 - t, 0.0) + jnp.where(taps == i0 + 1, t, 0.0)
+    return w.astype(dtype)
+
+
+def grid_sample_points_mxu(
+    x: jax.Array,
+    points_yx: jax.Array,
+    *,
+    align_corners: bool = True,
+    compute_dtype=None,
+) -> jax.Array:
+    """Bilinearly sample N points from an NHWC map via two MXU matmuls.
+
+    x: (B, H, W, C); points_yx: (B, N, 2) normalized (y, x) in [-1, 1]
+    (clamp beforehand for border semantics; OOB taps contribute zero).
+    Returns (B, N, C). Equivalent to ``grid_sample`` restricted to a
+    point list, but lowered as S_y @ x @ S_x^T instead of a gather.
+    """
+    B, H, W, C = x.shape
+    dt = compute_dtype or x.dtype
+    fy = _unnormalize(points_yx[..., 0].astype(jnp.float32), H, align_corners)
+    fx = _unnormalize(points_yx[..., 1].astype(jnp.float32), W, align_corners)
+    sy = lerp_weight_matrix(fy, H, dt)  # (B, N, H)
+    sx = lerp_weight_matrix(fx, W, dt)  # (B, N, W)
+    tmp = jnp.einsum(
+        "bnh,bhwc->bnwc", sy, x.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+    out = jnp.einsum(
+        "bnw,bnwc->bnc", sx, tmp.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(x.dtype)
+
+
 def grid_sample_nchw(
     x: jax.Array,
     grid: jax.Array,

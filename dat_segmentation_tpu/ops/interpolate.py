@@ -41,7 +41,9 @@ def _resize_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarr
 
 @functools.lru_cache(maxsize=256)
 def _resize_matrix_cached(in_size: int, out_size: int, align_corners: bool):
-    return jnp.asarray(_resize_matrix(in_size, out_size, align_corners))
+    # cache numpy, not jnp: a jnp constant created during one trace must
+    # never be reused in another (UnexpectedTracerError)
+    return _resize_matrix(in_size, out_size, align_corners)
 
 
 def resize_bilinear(
@@ -57,8 +59,8 @@ def resize_bilinear(
     if (H, W) == (Ho, Wo):
         return x
     compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
-    mh = _resize_matrix_cached(H, Ho, align_corners).astype(compute_dtype)
-    mw = _resize_matrix_cached(W, Wo, align_corners).astype(compute_dtype)
+    mh = jnp.asarray(_resize_matrix_cached(H, Ho, align_corners), compute_dtype)
+    mw = jnp.asarray(_resize_matrix_cached(W, Wo, align_corners), compute_dtype)
     y = jnp.einsum("bhwc,oh->bowc", x.astype(compute_dtype), mh)
     y = jnp.einsum("bhwc,ow->bhoc", y, mw)
     return y.astype(x.dtype)
@@ -76,7 +78,7 @@ def _adaptive_pool_matrix(in_size: int, out_size: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=256)
 def _adaptive_pool_matrix_cached(in_size: int, out_size: int):
-    return jnp.asarray(_adaptive_pool_matrix(in_size, out_size))
+    return _adaptive_pool_matrix(in_size, out_size)
 
 
 def adaptive_avg_pool(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
@@ -84,8 +86,8 @@ def adaptive_avg_pool(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     B, H, W, C = x.shape
     Ho, Wo = out_hw
     compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
-    mh = _adaptive_pool_matrix_cached(H, Ho).astype(compute_dtype)
-    mw = _adaptive_pool_matrix_cached(W, Wo).astype(compute_dtype)
+    mh = jnp.asarray(_adaptive_pool_matrix_cached(H, Ho), compute_dtype)
+    mw = jnp.asarray(_adaptive_pool_matrix_cached(W, Wo), compute_dtype)
     y = jnp.einsum("bhwc,oh->bowc", x.astype(compute_dtype), mh)
     y = jnp.einsum("bhwc,ow->bhoc", y, mw)
     return y.astype(x.dtype)

@@ -49,4 +49,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch):
     """Device_put a host batch with the batch dim sharded on 'data'."""
     s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    n = mesh.shape["data"]
+
+    def put(x):
+        assert x.shape[0] % n == 0, (
+            f"batch dim {x.shape[0]} not divisible by data axis {n}"
+        )
+        return jax.device_put(x, s)
+
+    return jax.tree.map(put, batch)

@@ -87,16 +87,26 @@ def make_train_step(
     """
 
     def loss_fn(params, batch_stats, batch, rng):
+        rng_drop, rng_mix = jax.random.split(rng)
+        image = batch["image"].astype(compute_dtype)
+        if task == "cls" and mixup and batch["label"].ndim == 1:
+            from ..data.mixup import mixup_cutmix
+
+            image, soft = mixup_cutmix(
+                rng_mix, image, batch["label"], num_classes=num_classes,
+                label_smoothing=label_smoothing,
+            )
+            batch = dict(batch, image=image, label=soft)
         variables = {"params": _cast(params, compute_dtype)}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         mutable = ["batch_stats"] if batch_stats else []
         out, updates = model.apply(
             variables,
-            batch["image"].astype(compute_dtype),
+            image,
             train=True,
             deterministic=False,
-            rngs={"dropout": rng},
+            rngs={"dropout": rng_drop},
             mutable=mutable,
         )
         metrics = {}

@@ -1,0 +1,185 @@
+"""Epoch-based ImageNet classifier pretraining.
+
+TPU re-design of the reference backbone trainer (reference:
+train_backbone.py:85-331): AdamW + cosine schedule with linear warmup
+(per-iteration stepping), grad-clip 5.0, mixup/cutmix + soft-target CE
+(else label-smoothing CE), per-epoch validation with top-1/5, epoch/best
+checkpoints plus backbone-only state export for seg fine-tuning. Metric
+reduction across hosts is a jnp sum over shard counters instead of
+NCCL all_reduce (train_backbone.py:161-164).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.schema import TrainConfig
+from ..data.imagenet import ImageNetDataset
+from ..data.loader import DataLoader, device_prefetch
+from ..models import build_model
+from ..parallel import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_mesh,
+    make_train_step,
+)
+from ..parallel.mesh import shard_batch
+from ..utils.logging import MetricLogger, weight_stats
+from .checkpoint import CheckpointManager, load_pretrained, merge_pretrained, save_backbone_only
+from .metrics import topk_accuracy
+from .optim import make_optimizer
+from .trainer_seg import build_schedule
+
+
+def train_classifier(
+    cfg: TrainConfig,
+    *,
+    pretrained: Optional[str] = None,
+    resume: bool = False,
+    epochs: Optional[int] = None,
+    mesh=None,
+    mixup: bool = True,
+    steps_per_epoch: Optional[int] = None,
+    dataset_cls=ImageNetDataset,
+):
+    mesh = mesh or make_mesh(cfg.mesh_shape)
+    model = build_model(cfg.model)
+    size = cfg.data.crop_size[0]
+    sample = jnp.zeros((cfg.data.batch_size, size, size, 3))
+
+    state = create_train_state(
+        model, make_optimizer(build_schedule(cfg), None),
+        jax.random.PRNGKey(cfg.seed), sample,
+    )
+    params, batch_stats = state.params, state.batch_stats
+    if pretrained:
+        loaded = load_pretrained(pretrained, cfg.model, kind="classifier")
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        merged = merge_pretrained(variables, loaded)
+        params = merged["params"]
+        batch_stats = merged.get("batch_stats", batch_stats)
+
+    train_ds = dataset_cls(cfg.data.data_root, "train", size=size,
+                           seed=cfg.seed)
+    val_ds = dataset_cls(cfg.data.data_root, "val", size=size)
+    n_epochs = epochs or cfg.schedule.max_iters  # cls schedule in epochs
+    spe = steps_per_epoch or max(len(train_ds) // cfg.data.batch_size, 1)
+
+    # per-iteration schedule over total steps (train_backbone.py:250-264)
+    sched_cfg = dataclasses.replace(
+        cfg.schedule,
+        max_iters=n_epochs * spe,
+        warmup_iters=cfg.schedule.warmup_iters * spe,
+    )
+    cfg_iter = dataclasses.replace(cfg, schedule=sched_cfg)
+    tx = make_optimizer(
+        build_schedule(cfg_iter), params,
+        betas=cfg.optimizer.betas,
+        weight_decay=cfg.optimizer.weight_decay,
+        no_decay_keys=cfg.optimizer.no_decay_keys,
+        grad_clip=cfg.optimizer.grad_clip,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=tx.init(params), batch_stats=batch_stats, tx=tx,
+    )
+
+    work_dir = Path(cfg.work_dir) / cfg.name
+    ckpt = CheckpointManager(str(work_dir))
+    logger = MetricLogger(work_dir / "train.log")
+    if resume:
+        latest = ckpt.latest_step()
+        if latest is not None:
+            state = ckpt.restore(latest, target=state)
+            logger.log(f"resumed from epoch checkpoint {latest}")
+
+    compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    step_fn = make_train_step(
+        model, mesh, task="cls",
+        num_classes=cfg.model.num_classes,
+        compute_dtype=compute_dtype,
+        mixup=mixup,
+    )
+    eval_fn = make_eval_step(model, mesh, compute_dtype=compute_dtype)
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    best_acc = -1.0
+    history = {"train_loss": [], "val_acc1": [], "val_acc5": []}
+    start_epoch = int(state.step) // spe
+    for epoch in range(start_epoch, n_epochs):
+        loader = DataLoader(
+            train_ds, cfg.data.batch_size, shuffle=True, drop_last=True,
+            num_threads=cfg.data.num_workers, seed=cfg.seed + epoch,
+        )
+        t0, seen = time.time(), 0
+        for bi, batch in enumerate(
+            device_prefetch(iter(loader), lambda b: shard_batch(mesh, b))
+        ):
+            if steps_per_epoch and bi >= steps_per_epoch:
+                break
+            state, metrics = step_fn(state, batch, rng)
+            seen += cfg.data.batch_size
+            if (bi + 1) % cfg.log_interval == 0:
+                logger.log(
+                    f"epoch {epoch} it {bi+1} loss={float(metrics['loss']):.4f} "
+                    f"acc={float(metrics['acc1'])*100:.2f} "
+                    f"{seen/(time.time()-t0):.1f} img/s"
+                )
+            if (bi + 1) % 100 == 0:
+                stats = weight_stats(
+                    {"stem": jax.device_get(state.params).get("backbone", {})}
+                )
+                logger.scalars(int(state.step), loss=float(metrics["loss"]))
+        history["train_loss"].append(float(metrics["loss"]))
+
+        # ---- validation (top-1/5; train_backbone.py:145-170) -----------
+        val_loader = DataLoader(val_ds, cfg.data.batch_size, drop_last=True)
+        hits1 = hits5 = total = 0
+        for batch in val_loader:
+            sb = shard_batch(mesh, batch)
+            logits = eval_fn(state.params, state.batch_stats, sb["image"])
+            accs = topk_accuracy(logits, jnp.asarray(batch["label"]), (1, 5))
+            n = batch["label"].shape[0]
+            hits1 += float(accs[1]) * n
+            hits5 += float(accs[5]) * n
+            total += n
+        acc1 = hits1 / max(total, 1)
+        acc5 = hits5 / max(total, 1)
+        history["val_acc1"].append(acc1)
+        history["val_acc5"].append(acc5)
+        logger.log(f"epoch {epoch} val acc1={acc1*100:.2f} acc5={acc5*100:.2f}")
+
+        if (epoch + 1) % 10 == 0 or epoch == n_epochs - 1:
+            ckpt.save(
+                epoch + 1,
+                {
+                    "step": np.asarray(state.step),
+                    "params": jax.device_get(state.params),
+                    "opt_state": jax.device_get(state.opt_state),
+                    "batch_stats": jax.device_get(state.batch_stats),
+                },
+                metadata={"epoch": epoch, "acc1": acc1},
+            )
+        if acc1 > best_acc:
+            best_acc = acc1
+            ckpt.save(
+                "best",
+                {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)},
+                metadata={"epoch": epoch, "acc1": acc1},
+            )
+            save_backbone_only(
+                str(work_dir / "backbone_best"),
+                jax.device_get(state.params),
+            )
+    return state, history

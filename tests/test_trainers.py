@@ -1,0 +1,185 @@
+"""End-to-end trainer smoke tests on synthetic data (tiny models, CPU)."""
+
+import dataclasses
+import random
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax
+import jax.numpy as jnp
+
+from dat_segmentation_tpu.configs import get_config
+from dat_segmentation_tpu.configs.schema import replace as cfg_replace
+
+
+def _tiny_bb(cfg, classes=150):
+    bb = dataclasses.replace(
+        cfg.model.backbone,
+        depths=(1, 1, 1, 1),
+        dims=(8, 16, 32, 64),
+        dim_stem=8,
+        heads=(2, 2, 4, 4),
+        groups=(1, 2, 2, 4),
+        stage_spec=(("X",), ("D",), ("D",), ("D",)),
+        drop_path_rate=0.1,
+    )
+    model = dataclasses.replace(
+        cfg.model,
+        backbone=bb,
+        decode_head=dataclasses.replace(
+            cfg.model.decode_head, channels=16, num_classes=classes
+        ),
+        num_classes=classes,
+    )
+    if cfg.model.auxiliary_head is not None:
+        model = dataclasses.replace(
+            model,
+            auxiliary_head=dataclasses.replace(
+                cfg.model.auxiliary_head, channels=8, num_classes=classes
+            ),
+        )
+    return dataclasses.replace(cfg, model=model)
+
+
+def _seg_data(tmp_path, n=6, val=2):
+    for split, cnt in (("training", n), ("validation", val)):
+        img_dir = tmp_path / "images" / split
+        ann_dir = tmp_path / "annotations" / split
+        img_dir.mkdir(parents=True, exist_ok=True)
+        ann_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(cnt):
+            rs = np.random.RandomState(hash(split) % 1000 + i)
+            img = rs.randint(0, 255, (70, 90, 3), np.uint8)
+            mask = rs.randint(1, 11, (70, 90)).astype(np.uint8)
+            cv2.imwrite(str(img_dir / f"{split}_{i}.jpg"), img)
+            cv2.imwrite(str(ann_dir / f"{split}_{i}.png"), mask)
+    return tmp_path
+
+
+def test_train_segmentation_loop(tmp_path):
+    from dat_segmentation_tpu.train.trainer_seg import train_segmentation
+
+    root = _seg_data(tmp_path / "data")
+    cfg = _tiny_bb(get_config("upn_tiny_160k_dp03_lr6"), classes=20)
+    cfg = cfg_replace(
+        cfg,
+        **{
+            "data.data_root": str(root),
+            "data.batch_size": 2,
+            "data.crop_size": (64, 64),
+            "data.num_workers": 2,
+            "schedule.max_iters": 6,
+            "schedule.warmup_iters": 2,
+            "log_interval": 2,
+            "checkpoint_interval": 3,
+            "eval_interval": 6,
+            "work_dir": str(tmp_path / "work"),
+            "dtype": "float32",
+            "name": "smoke",
+            "mesh_shape": {"data": 2},
+        },
+    )
+    state, history = train_segmentation(cfg, max_iters=6, eval_max_images=2)
+    assert int(state.step) == 6
+    assert len(history["loss"]) >= 2
+    assert all(np.isfinite(v) for v in history["loss"])
+    assert len(history["val_miou"]) == 1
+    # checkpoints on disk
+    work = Path(cfg.work_dir) / "smoke"
+    assert (work / "ckpt_3").exists()
+    assert (work / "ckpt_best").exists()
+
+
+def test_train_seg_resume(tmp_path):
+    from dat_segmentation_tpu.train.trainer_seg import train_segmentation
+
+    root = _seg_data(tmp_path / "data")
+    cfg = _tiny_bb(get_config("upn_tiny_160k_dp03_lr6"), classes=20)
+    cfg = cfg_replace(
+        cfg,
+        **{
+            "data.data_root": str(root),
+            "data.batch_size": 2,
+            "data.crop_size": (64, 64),
+            "schedule.max_iters": 4,
+            "schedule.warmup_iters": 1,
+            "log_interval": 10,
+            "checkpoint_interval": 2,
+            "eval_interval": 100,
+            "work_dir": str(tmp_path / "work"),
+            "dtype": "float32",
+            "name": "resume",
+            "mesh_shape": {"data": 2},
+        },
+    )
+    train_segmentation(cfg, max_iters=2, eval_max_images=1)
+    state, _ = train_segmentation(
+        cfg, max_iters=4, resume=True, eval_max_images=1
+    )
+    assert int(state.step) == 4
+
+
+def _cls_data(tmp_path, n_per_class=3, classes=3):
+    for split in ("train", "val"):
+        for c in range(classes):
+            d = tmp_path / split / f"class_{c}"
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(n_per_class):
+                rs = np.random.RandomState(c * 100 + i)
+                img = rs.randint(0, 255, (80, 80, 3), np.uint8)
+                cv2.imwrite(str(d / f"{i}.jpeg"), img)
+    return tmp_path
+
+
+def test_train_classifier_loop(tmp_path):
+    from dat_segmentation_tpu.train.trainer_cls import train_classifier
+
+    root = _cls_data(tmp_path / "data")
+    cfg = _tiny_bb(get_config("cls_tiny_imagenet"))
+    cfg = cfg_replace(
+        cfg,
+        **{
+            "model.decode_head": dataclasses.replace(
+                cfg.model.decode_head, num_classes=3
+            ),
+            "model.num_classes": 3,
+            "data.data_root": str(root),
+            "data.batch_size": 4,
+            "data.crop_size": (64, 64),
+            "data.num_workers": 2,
+            "schedule.warmup_iters": 1,
+            "log_interval": 1,
+            "work_dir": str(tmp_path / "work"),
+            "dtype": "float32",
+            "name": "cls_smoke",
+            "mesh_shape": {"data": 4},
+        },
+    )
+    state, history = train_classifier(
+        cfg, epochs=2, steps_per_epoch=2, mixup=True
+    )
+    assert int(state.step) == 4
+    assert len(history["val_acc1"]) == 2
+    work = Path(cfg.work_dir) / "cls_smoke"
+    assert (work / "ckpt_best").exists()
+    assert (work / "backbone_best").exists()
+
+
+def test_mixup_cutmix_properties():
+    from dat_segmentation_tpu.data.mixup import mixup_cutmix
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(4, 16, 16, 3).astype(np.float32))
+    labels = jnp.asarray([0, 1, 2, 3])
+    for seed in range(4):
+        out, targets = mixup_cutmix(
+            jax.random.PRNGKey(seed), images, labels, num_classes=5
+        )
+        assert out.shape == images.shape
+        assert targets.shape == (4, 5)
+        np.testing.assert_allclose(np.asarray(targets.sum(-1)), 1.0, rtol=1e-5)
+        assert np.asarray(targets).min() > 0  # smoothing floor

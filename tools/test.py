@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference: tools/test.py).
+
+  python tools/test.py upn_tiny_160k_dp03_lr6 CHECKPOINT \
+      --data-root /data/ade20k --eval mIoU
+  python tools/test.py upn_tiny_160k_dp03_lr6 CKPT --aug-test   # MS+flip
+  python tools/test.py fpn_tiny_80k_dp04_lr2 CKPT --mode slide
+
+CHECKPOINT may be an orbax directory or a torch .pth (converted on load).
+``--aug-test`` uses the reference's hard-coded ratios
+[0.5, 0.75, 1.0, 1.25, 1.5, 1.75] + horizontal flip (tools/test.py:143-148).
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="DAT-TPU evaluation")
+    p.add_argument("config", help="preset name or python config file")
+    p.add_argument("checkpoint", help="orbax dir or torch .pth")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--eval", default="mIoU", choices=["mIoU"])
+    p.add_argument("--aug-test", action="store_true", help="MS+flip TTA")
+    p.add_argument("--mode", default=None, choices=[None, "whole", "slide"])
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--out", default=None, help="json results path")
+    p.add_argument("--show-dir", default=None,
+                   help="write color prediction maps here")
+    p.add_argument("--shard", default=None, metavar="RANK/WORLD",
+                   help="evaluate a shard (merge with merge_shard_results)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from tools.train import load_config
+
+    import jax.numpy as jnp
+
+    from dat_segmentation_tpu.data.ade20k import ADE20KDataset
+    from dat_segmentation_tpu.eval import SegInferencer, evaluate_dataset
+    from dat_segmentation_tpu.models import build_model
+    from dat_segmentation_tpu.train.checkpoint import (
+        load_pretrained,
+        merge_pretrained,
+    )
+
+    cfg = load_config(args.config)
+    model = build_model(cfg.model)
+
+    import jax
+
+    init_vars = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 64, 64, 3)),
+        train=False,
+    )
+    loaded = load_pretrained(args.checkpoint, cfg.model)
+    if "params" not in loaded:  # raw state tree from trainer checkpoints
+        loaded = {
+            "params": loaded.get("params", loaded),
+            **(
+                {"batch_stats": loaded["batch_stats"]}
+                if "batch_stats" in loaded
+                else {}
+            ),
+        }
+    variables = merge_pretrained(jax.device_get(init_vars), loaded)
+
+    inferencer = SegInferencer(
+        model,
+        variables,
+        num_classes=cfg.model.num_classes,
+        mode=args.mode or cfg.model.test_mode,
+        crop_size=cfg.model.crop_size,
+        stride=cfg.model.slide_stride,
+    )
+    ds = ADE20KDataset(args.data_root, "val")
+    shard_info = None
+    if args.shard:
+        rank, world = map(int, args.shard.split("/"))
+        shard_info = (rank, world)
+    res = evaluate_dataset(
+        inferencer,
+        ds,
+        num_classes=cfg.model.num_classes,
+        img_scale=cfg.data.img_scale,
+        aug_test=args.aug_test,
+        max_images=args.max_images,
+        shard_info=shard_info,
+    )
+    print(f"mIoU: {res['mIoU']*100:.2f}  aAcc: {res['aAcc']*100:.2f}")
+    if args.out:
+        Path(args.out).write_text(json.dumps(res))
+
+    if args.show_dir:
+        import numpy as np
+        import cv2
+
+        from dat_segmentation_tpu.data.ade20k import ADE20K_NUM_CLASSES
+
+        out_dir = Path(args.show_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        palette = (
+            np.random.RandomState(42)
+            .randint(0, 255, (cfg.model.num_classes, 3))
+            .astype(np.uint8)
+        )
+        n = min(args.max_images or len(ds), len(ds))
+        for i in range(n):
+            raw, gt = ds.load_raw(i)
+            pred = inferencer.predict(
+                raw, img_scale=cfg.data.img_scale, ori_shape=gt.shape
+            )
+            color = palette[pred]
+            cv2.imwrite(
+                str(out_dir / f"{Path(ds.images[i]).stem}.png"),
+                cv2.cvtColor(color, cv2.COLOR_RGB2BGR),
+            )
+
+
+if __name__ == "__main__":
+    main()

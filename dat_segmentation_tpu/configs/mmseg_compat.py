@@ -38,10 +38,14 @@ def backbone_config_from_mmseg(d: Dict[str, Any]) -> BackboneConfig:
     return BackboneConfig(**kwargs)
 
 
-def _head_from_mmseg(d: Optional[Dict[str, Any]]) -> Optional[HeadConfig]:
+def _head_from_mmseg(
+    d: Optional[Dict[str, Any]],
+    default_type: str = "UPerHead",
+    default_channels: int = 512,
+) -> Optional[HeadConfig]:
     if d is None:
         return None
-    htype = d.get("type", "UPerHead")
+    htype = d.get("type", default_type)
     kwargs = {}
     if htype == "UPerHead":
         kwargs["pool_scales"] = _tuplify(d.get("pool_scales", (1, 2, 3, 6)))
@@ -57,7 +61,7 @@ def _head_from_mmseg(d: Optional[Dict[str, Any]]) -> Optional[HeadConfig]:
     return HeadConfig(
         type=htype,
         num_classes=d.get("num_classes", 150),
-        channels=d.get("channels", 512),
+        channels=d.get("channels", default_channels),
         kwargs=kwargs,
     )
 
@@ -65,8 +69,10 @@ def _head_from_mmseg(d: Optional[Dict[str, Any]]) -> Optional[HeadConfig]:
 def model_config_from_mmseg(model: Dict[str, Any]) -> ModelConfig:
     """Build a ModelConfig from an mmseg ``model = dict(...)`` dict."""
     backbone = backbone_config_from_mmseg(model["backbone"])
-    decode = _head_from_mmseg(model.get("decode_head"))
-    aux = _head_from_mmseg(model.get("auxiliary_head"))
+    # role defaults match the reference _base_ files
+    # (configs/_base_/models/upernet_dat.py:42-66)
+    decode = _head_from_mmseg(model.get("decode_head"), "UPerHead", 512)
+    aux = _head_from_mmseg(model.get("auxiliary_head"), "FCNHead", 256)
     neck = None
     if model.get("neck") is not None:
         neck = NeckConfig("FPN", model["neck"].get("out_channels", 256))

@@ -151,6 +151,38 @@ class DeformableAttention(nn.Module):
         k = dense(sampled, C, name="proj_k")
         v = dense(sampled, C, name="proj_v")
 
+        use_pallas = (
+            self.kernel_impl == "pallas"
+            and self.use_pe
+            and not (self.dwc_pe or self.fixed_pe or self.log_cpb)
+            and not self.no_off
+            and (self.attn_drop == 0.0 or deterministic)
+        )
+        if use_pallas:
+            from ..ops.pallas.deform_attn import fused_deform_attention
+
+            th = self.q_size[0] * 2 - 1
+            tw = self.q_size[1] * 2 - 1
+            table = self.param(
+                "rpe_table", trunc_normal_init(0.01), (heads, th, tw)
+            )
+            q_g = q.reshape(B, H, W, g, Cg).transpose(0, 3, 1, 2, 4)
+            q_g = q_g.reshape(B * g, H, W, Cg)
+            k_g = k.reshape(B, Ns, g, Cg).transpose(0, 2, 1, 3)
+            k_g = k_g.reshape(B * g, Ns, Cg)
+            v_g = v.reshape(B, Ns, g, Cg).transpose(0, 2, 1, 3)
+            v_g = v_g.reshape(B * g, Ns, Cg)
+            interpret = jax.default_backend() != "tpu"
+            out = fused_deform_attention(
+                q_g, k_g, v_g, pos,
+                table.reshape(g, h_g, th, tw),
+                g, scale, interpret,
+            )
+            out = out.reshape(B, g, H, W, Cg).transpose(0, 2, 3, 1, 4)
+            out = out.reshape(B, H, W, C)
+            y = dense(out, C, name="proj_out")
+            return nn.Dropout(self.proj_drop, deterministic=deterministic)(y)
+
         qh = q.reshape(B, H * W, heads, hc)
         kh = k.reshape(B, Ns, heads, hc)
         vh = v.reshape(B, Ns, heads, hc)

@@ -1,0 +1,113 @@
+"""Fused deformable-attention kernel vs the XLA composite (interpret mode
+on CPU; the same kernel compiles for real on TPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dat_segmentation_tpu.ops.pallas.deform_attn import (
+    _xla_reference,
+    fused_deform_attention,
+)
+
+
+def _inputs(B=2, g=2, h_g=2, hc=16, H=16, W=8, Ns=16, th=15, tw=15, seed=0):
+    rng = np.random.RandomState(seed)
+    Cg = h_g * hc
+    q = rng.randn(B * g, H, W, Cg).astype(np.float32) * 0.5
+    k = rng.randn(B * g, Ns, Cg).astype(np.float32) * 0.5
+    v = rng.randn(B * g, Ns, Cg).astype(np.float32) * 0.5
+    pos = rng.uniform(-1, 1, (B * g, Ns, 2)).astype(np.float32)
+    table = rng.randn(g, h_g, th, tw).astype(np.float32) * 0.1
+    return map(jnp.asarray, (q, k, v, pos, table))
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        dict(),  # base
+        dict(H=8, W=16, Ns=25),  # rectangular, odd Ns
+        dict(g=1, h_g=4, hc=8),  # single group, more heads
+        dict(th=21, tw=9),  # asymmetric table
+    ],
+)
+def test_fused_kernel_matches_xla(shape):
+    q, k, v, pos, table = _inputs(**shape)
+    g = table.shape[0]
+    scale = (q.shape[-1] // table.shape[1]) ** -0.5
+    ref = _xla_reference(q, k, v, pos, table, n_groups=g, scale=scale)
+    got = fused_deform_attention(q, k, v, pos, table, g, scale, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fused_kernel_gradients_flow():
+    """custom_vjp backward (XLA recompute) produces grads matching the
+    composite's grads."""
+    q, k, v, pos, table = _inputs(B=1, g=1, h_g=2, hc=8, H=8, W=8, Ns=9,
+                                  th=9, tw=9)
+    scale = 8 ** -0.5
+
+    def loss_fused(q_, k_, v_, tbl_):
+        out = fused_deform_attention(q_, k_, v_, pos, tbl_, 1, scale, True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(q_, k_, v_, tbl_):
+        out = _xla_reference(q_, k_, v_, pos, tbl_, n_groups=1, scale=scale)
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, table)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, table)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+
+
+def test_module_pallas_path_matches_xla_path():
+    """DeformableAttention(kernel_impl='pallas') == kernel_impl='xla'."""
+    from dat_segmentation_tpu.models.deformable_attention import (
+        DeformableAttention,
+    )
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+
+    def build(impl):
+        return DeformableAttention(
+            dim=32, n_heads=4, n_groups=2, stride=2, ksize=5,
+            q_size=(16, 16), offset_range_factor=-1.0, use_pe=True,
+            kernel_impl=impl,
+        )
+
+    m_xla = build("xla")
+    variables = m_xla.init(jax.random.PRNGKey(0), x)
+    ref = m_xla.apply(variables, x)
+    got = build("pallas").apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_pallas_path_trains():
+    """Gradient step through the pallas forward works (bwd = XLA recompute)."""
+    from dat_segmentation_tpu.models.deformable_attention import (
+        DeformableAttention,
+    )
+
+    m = DeformableAttention(
+        dim=16, n_heads=2, n_groups=1, stride=2, ksize=5, q_size=(8, 8),
+        offset_range_factor=-1.0, use_pe=True, kernel_impl="pallas",
+    )
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 8, 8, 16), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(params):
+        return jnp.sum(m.apply({"params": params}, x) ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    norms = [float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads)]
+    assert all(np.isfinite(n) for n in norms)
+    assert sum(norms) > 0

@@ -10,6 +10,7 @@ the roofline fraction — achieved FLOP/s over peak bf16 FLOP/s — is the
 baseline axis; vs_baseline 1.0 == 100% of roofline).
 """
 
+import argparse
 import json
 import sys
 import time
@@ -21,6 +22,64 @@ import jax.numpy as jnp
 BATCH = 4
 SHAPE = (512, 512)
 V5E_PEAK_FLOPS = 197e12  # bf16 peak, TPU v5e (public spec)
+
+
+def bench_train(batch: int = 2, config: str = "upn_tiny_160k_dp03_lr6"):
+    """Full train step (fwd+bwd+AdamW) images/sec — the reference trains
+    2 imgs/GPU x 8 GPUs (configs/dat/upn_tiny_160k_dp03_lr6.py:65-66)."""
+    import numpy as np
+
+    from dat_segmentation_tpu.configs import get_config
+    from dat_segmentation_tpu.models import build_model
+    from dat_segmentation_tpu.parallel import (
+        TrainState,
+        create_train_state,
+        make_mesh,
+        make_train_step,
+    )
+    from dat_segmentation_tpu.parallel.mesh import shard_batch
+    from dat_segmentation_tpu.train import make_optimizer, warmup_poly_schedule
+
+    cfg = get_config(config)
+    model = build_model(cfg.model)
+    mesh = make_mesh({"data": 1})
+    sched = warmup_poly_schedule(cfg.optimizer.lr, cfg.schedule.max_iters)
+    sample = jnp.zeros((batch, *SHAPE, 3))
+    st = create_train_state(
+        model, make_optimizer(sched, None), jax.random.PRNGKey(0), sample
+    )
+    tx = make_optimizer(sched, st.params,
+                        weight_decay=cfg.optimizer.weight_decay,
+                        no_decay_keys=cfg.optimizer.no_decay_keys)
+    st = TrainState(step=st.step, params=st.params,
+                    opt_state=tx.init(st.params),
+                    batch_stats=st.batch_stats, tx=tx)
+    step = make_train_step(
+        model, mesh, task="seg", num_classes=cfg.model.num_classes,
+        aux_weight=cfg.model.aux_loss_weight,
+    )
+    rng = np.random.RandomState(0)
+    b = shard_batch(mesh, {
+        "image": jnp.asarray(rng.randn(batch, *SHAPE, 3).astype(np.float32)),
+        "label": jnp.asarray(rng.randint(0, 150, (batch, *SHAPE)).astype(np.int32)),
+    })
+    key = jax.random.PRNGKey(1)
+    for _ in range(3):
+        st, m = step(st, b, key)
+    jax.block_until_ready(m["loss"])
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, m = step(st, b, key)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(batch / dt, 2),
+        "unit": f"img/s ({config} 512x512 bf16 train step)",
+        "vs_baseline": 0.0,
+    }))
+    print(f"# step={dt*1e3:.1f}ms loss={float(m['loss']):.3f}", file=sys.stderr)
 
 
 def main():
@@ -81,4 +140,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the full train step instead")
+    ap.add_argument("--batch", type=int, default=None)
+    args = ap.parse_args()
+    if args.train:
+        bench_train(batch=args.batch or 2)
+    else:
+        if args.batch:
+            BATCH = args.batch
+        main()

@@ -121,3 +121,12 @@ def build_model_from_config(name_or_cfg) -> nn.Module:
     if hasattr(cfg, "model"):
         cfg = cfg.model
     return build_model(cfg)
+
+
+if __name__ == "__main__":
+    # builder CLI smoke test (reference: models/builder.py:169-176)
+    import sys
+
+    name = sys.argv[1] if len(sys.argv) > 1 else "upn_tiny_160k_dp03_lr6"
+    model = build_model_from_config(name)
+    print(model)

@@ -31,6 +31,9 @@ def parse_args():
     p.add_argument("--out", default=None, help="json results path")
     p.add_argument("--show-dir", default=None,
                    help="write color prediction maps here")
+    p.add_argument("--format-dir", default=None,
+                   help="write submission-format grayscale maps (label+1, "
+                        "the ADE20K convention; mmseg --format-only analog)")
     p.add_argument("--shard", default=None, metavar="RANK/WORLD",
                    help="evaluate a shard (merge with merge_shard_results)")
     return p.parse_args()
@@ -97,6 +100,23 @@ def main():
     print(f"mIoU: {res['mIoU']*100:.2f}  aAcc: {res['aAcc']*100:.2f}")
     if args.out:
         Path(args.out).write_text(json.dumps(res))
+
+    if args.format_dir:
+        import numpy as np
+        import cv2
+
+        out_dir = Path(args.format_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        n = min(args.max_images or len(ds), len(ds))
+        for i in range(n):
+            raw, gt = ds.load_raw(i)
+            pred = inferencer.predict(
+                raw, img_scale=cfg.data.img_scale, ori_shape=gt.shape
+            )
+            cv2.imwrite(
+                str(out_dir / f"{Path(ds.images[i]).stem}.png"),
+                (pred + 1).astype(np.uint8),
+            )
 
     if args.show_dir:
         import numpy as np

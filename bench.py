@@ -24,6 +24,14 @@ SHAPE = (512, 512)
 V5E_PEAK_FLOPS = 197e12  # bf16 peak, TPU v5e (public spec)
 
 
+def _fetch(tree):
+    """Force real execution: device_get a scalar slice of every leaf."""
+    import numpy as np
+
+    for leaf in jax.tree.leaves(tree):
+        np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+
+
 def bench_train(batch: int = 2, config: str = "upn_tiny_160k_dp03_lr6"):
     """Full train step (fwd+bwd+AdamW) images/sec — the reference trains
     2 imgs/GPU x 8 GPUs (configs/dat/upn_tiny_160k_dp03_lr6.py:65-66)."""
@@ -66,12 +74,12 @@ def bench_train(batch: int = 2, config: str = "upn_tiny_160k_dp03_lr6"):
     key = jax.random.PRNGKey(1)
     for _ in range(3):
         st, m = step(st, b, key)
-    jax.block_until_ready(m["loss"])
+    _fetch(m["loss"])
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         st, m = step(st, b, key)
-    jax.block_until_ready(m["loss"])
+    _fetch(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip",
@@ -107,15 +115,19 @@ def main():
     cost = compiled.cost_analysis()
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
 
-    # warmup
+    # warmup. NOTE: under the axon tunnel block_until_ready resolves
+    # before execution completes; a device_get of real bytes is the only
+    # trustworthy sync. The device executes in-order, so fetching the
+    # last program's output waits for all of them.
     for _ in range(3):
-        jax.block_until_ready(fwd(x))
+        _fetch(fwd(x))
 
     iters = 20
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = fwd(x)
-    jax.block_until_ready(out)
+    _fetch(out)
     dt = time.perf_counter() - t0
 
     ips = BATCH * iters / dt

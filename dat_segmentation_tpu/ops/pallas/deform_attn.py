@@ -117,13 +117,14 @@ def _kernel(
     k = k_ref[0]
     v = v_ref[0]
 
-    # Per-head batched bias matmuls, then a per-row unrolled attention
-    # loop. Every op keeps its natural layout — Mosaic rejects
-    # lane-collapsing reshapes like (Ns, RT, XB) -> (Ns, RT*XB), so the
-    # row dim is iterated (slices only, no reshapes).
+    # Per-head, whole-tile matmuls. Everything stays in (Ns, RT, XB) /
+    # (RT, XB, hc) layouts — Mosaic rejects lane-collapsing reshapes like
+    # (Ns, RT, XB) -> (Ns, RT*XB), so the row dim is kept as a free
+    # matmul dim instead of being flattened or iterated.
     for h in range(h_g):
         k_h = k[:, h * hc : (h + 1) * hc]  # (Ns, hc)
         v_h = v[:, h * hc : (h + 1) * hc]
+        q3 = q_ref[0, :, :, h * hc : (h + 1) * hc]  # (RT, XB, hc)
 
         # m1[n, r, u] = wy[n, r, :] @ T_h[:, u]
         m1 = jax.lax.dot_general(
@@ -139,30 +140,26 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )  # (Ns, RT, XB)
 
-        for r in range(RT):
-            q_rh = q_ref[0, r, :, h * hc : (h + 1) * hc]  # (XB, hc)
-            # s[n, x] = k_h @ q_rh^T
-            s = jax.lax.dot_general(
-                k_h, q_rh,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (Ns, XB)
-            s = s * scale + bias[:, r, :]
+        # s[n, r, x] = sum_c k_h[n, c] * q3[r, x, c]
+        s = jax.lax.dot_general(
+            k_h, q3,
+            dimension_numbers=(((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Ns, RT, XB)
+        s = s * scale + bias
 
-            # softmax over Ns (axis 0), fp32
-            s = s - jnp.max(s, axis=0, keepdims=True)
-            p = jnp.exp(s)
-            p = p / jnp.sum(p, axis=0, keepdims=True)
+        # softmax over Ns (axis 0), fp32
+        s = s - jnp.max(s, axis=0, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=0, keepdims=True)
 
-            # out[x, c] = p[:, x]^T @ v_h[:, c]
-            out_rh = jax.lax.dot_general(
-                p.astype(v_h.dtype), v_h,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (XB, hc)
-            o_ref[0, r, :, h * hc : (h + 1) * hc] = out_rh.astype(
-                o_ref.dtype
-            )
+        # out[r, x, c] = sum_n p[n, r, x] * v_h[n, c]
+        out_h = jax.lax.dot_general(
+            p.astype(v_h.dtype), v_h,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (RT, XB, hc)
+        o_ref[0, :, :, h * hc : (h + 1) * hc] = out_h.astype(o_ref.dtype)
 
 
 def fused_deform_attention_fwd(

@@ -78,13 +78,24 @@ class Throughput:
         return self._items / (time.perf_counter() - self._t0)
 
 
+def _force(tree):
+    """device_get a scalar from every leaf — the only reliable sync on
+    backends whose ready-events resolve before execution (axon tunnel)."""
+    import numpy as np
+
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "ndim"):
+            np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+
+
 def benchmark(fn: Callable, *args, iters: int = 20, warmup: int = 3) -> float:
-    """Median-free simple wall time per call (seconds), device-synced."""
+    """Wall time per call (seconds), synced via a real device_get (the
+    device executes in-order, so fetching the last output waits for all)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / iters

@@ -157,7 +157,7 @@ _REGISTRY = {
 def get_config(name: str) -> TrainConfig:
     if name not in _REGISTRY:
         raise KeyError(f"unknown config {name!r}; have {sorted(_REGISTRY)}")
-    return _REGISTRY[name]()
+    return dataclasses.replace(_REGISTRY[name](), name=name)
 
 
 def list_configs():

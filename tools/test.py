@@ -36,12 +36,14 @@ def parse_args():
                         "the ADE20K convention; mmseg --format-only analog)")
     p.add_argument("--shard", default=None, metavar="RANK/WORLD",
                    help="evaluate a shard (merge with merge_shard_results)")
+    p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
+                   help="dotted config overrides (must match the checkpoint)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
-    from tools.train import load_config
+    from tools.train import apply_overrides, load_config
 
     import jax.numpy as jnp
 
@@ -54,6 +56,7 @@ def main():
     )
 
     cfg = load_config(args.config)
+    cfg = apply_overrides(cfg, args.set)
     model = build_model(cfg.model)
 
     import jax

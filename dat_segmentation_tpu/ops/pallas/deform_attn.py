@@ -45,7 +45,9 @@ def _row_tile(H: int, W: int, target_m: int = 512) -> int:
 
 
 def _col_tile(W: int, Ns: int, tw: int, budget_bytes: int = 6 * 2**20) -> int:
-    """Largest x-block whose f32 tap-weight temporaries fit the budget."""
+    """Largest x-block whose f32 tap-weight temporaries fit Mosaic's
+    16 MB scoped-VMEM stack (accounting is conservative: elementwise
+    temporaries all count)."""
     xb = W
     while xb > 8 and xb * Ns * tw * 4 > budget_bytes:
         xb //= 2
@@ -54,8 +56,9 @@ def _col_tile(W: int, Ns: int, tw: int, budget_bytes: int = 6 * 2**20) -> int:
     return xb
 
 
-def _lerp_taps(f, size):
-    """(..., size) bilinear tap weights from unnormalized coords ``f``.
+def _lerp_taps(f, size, offset: int = 0):
+    """(..., size) bilinear tap weights for taps [offset, offset+size)
+    from unnormalized coords ``f``.
 
     In-kernel version of ops.grid_sample.lerp_weight_matrix: two one-hot
     comparisons against an iota; OOB taps get zero weight (ATen zeros
@@ -64,7 +67,9 @@ def _lerp_taps(f, size):
     i0 = jnp.floor(f)
     t = (f - i0)[..., None]
     i0 = i0.astype(jnp.int32)[..., None]
-    taps = jax.lax.broadcasted_iota(jnp.int32, f.shape + (size,), f.ndim)
+    taps = offset + jax.lax.broadcasted_iota(
+        jnp.int32, f.shape + (size,), f.ndim
+    )
     return jnp.where(taps == i0, 1.0 - t, 0.0) + jnp.where(
         taps == i0 + 1, t, 0.0
     )
@@ -72,11 +77,12 @@ def _lerp_taps(f, size):
 
 def _kernel(
     pos_ref,    # (1, Ns, 2) f32, (y, x) normalized
-    q_ref,      # (1, RT, W, Cg)
+    q_ref,      # (1, RT, XB, Cg)
     k_ref,      # (1, Ns, Cg)
     v_ref,      # (1, Ns, Cg)
     tbl_ref,    # (1, h_g, th, tw)
-    o_ref,      # (1, RT, W, Cg)
+    o_ref,      # (1, RT, XB, Cg)
+    m1_ref,     # VMEM scratch (h_g, Ns, RT, tw): row-interpolated table
     *,
     H: int,
     W: int,
@@ -96,70 +102,80 @@ def _kernel(
     py = pos_ref[0, :, 0]  # (Ns,)
     px = pos_ref[0, :, 1]
 
-    # --- x tap weights for this column block, built directly in
-    # (Ns, XB, tw) contraction layout (full-W f32 temporaries would blow
-    # the VMEM budget at stage-0 shapes — hence the x-block grid dim).
+    # --- x tap weights for this column block, (Ns, XB, tw) contraction
+    # layout (the x-block grid dim keeps the f32 temporaries inside
+    # Mosaic's scoped-VMEM stack budget)
     xg = jax.lax.broadcasted_iota(jnp.int32, (1, XB), 1).astype(jnp.float32)
     xg = (xg + xb * XB) / max(W - 1.0, 1.0) * 2.0 - 1.0
     dx = (xg - px[:, None]) * 0.5  # (Ns, XB)
     fx = (dx + 1.0) * 0.5 * (tw - 1)
     wx = _lerp_taps(fx, tw).astype(wdt)  # (Ns, XB, tw)
 
-    # --- y tap weights for this tile, (Ns, RT, th) batch-first layout
-    # (Mosaic batched matmuls need the batch dim in the same position on
-    # both operands)
-    yg = jax.lax.broadcasted_iota(jnp.int32, (1, RT), 1).astype(jnp.float32)
-    yg = (yg + t * RT) / max(H - 1.0, 1.0) * 2.0 - 1.0
-    dy = (yg - py[:, None]) * 0.5  # (Ns, RT)
-    fy = (dy + 1.0) * 0.5 * (th - 1)
-    wy = _lerp_taps(fy, th).astype(wdt)  # (Ns, RT, th)
+    # --- y-interpolated table rows m1[h] = W_y @ T_h, cached in scratch:
+    # identical for every x-block, so compute once per row tile (the x
+    # grid dim iterates innermost) — recomputing per program was 4x
+    # redundant bias FLOPs at stage-0 shapes.
+    @pl.when(xb == 0)
+    def _build_m1():
+        # (Ns, RT, th) batch-first wy (Mosaic batched matmuls need the
+        # batch dim in the same position on both operands)
+        yg = jax.lax.broadcasted_iota(
+            jnp.int32, (1, RT), 1
+        ).astype(jnp.float32)
+        yg2 = (yg + t * RT) / max(H - 1.0, 1.0) * 2.0 - 1.0
+        dy = (yg2 - py[:, None]) * 0.5  # (Ns, RT)
+        fy = (dy + 1.0) * 0.5 * (th - 1)
+        wy = _lerp_taps(fy, th).astype(wdt)  # (Ns, RT, th)
+        for h in range(h_g):
+            m1_ref[h] = jax.lax.dot_general(
+                wy, tbl_ref[0, h],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(wdt)
 
     k = k_ref[0]
     v = v_ref[0]
 
-    # Per-head, whole-tile matmuls. Everything stays in (Ns, RT, XB) /
-    # (RT, XB, hc) layouts — Mosaic rejects lane-collapsing reshapes like
-    # (Ns, RT, XB) -> (Ns, RT*XB), so the row dim is kept as a free
-    # matmul dim instead of being flattened or iterated.
+    # Per-head batched bias matmuls, then per-row 2-D attention dots.
+    # Mosaic rejects lane-collapsing reshapes ((Ns, RT, XB) -> (Ns, M))
+    # AND the internal flatten+reshape of multi-free-dim dot_generals when
+    # XB < 128, so rows are iterated with pure 2-D matmuls (XB lanes).
     for h in range(h_g):
         k_h = k[:, h * hc : (h + 1) * hc]  # (Ns, hc)
         v_h = v[:, h * hc : (h + 1) * hc]
-        q3 = q_ref[0, :, :, h * hc : (h + 1) * hc]  # (RT, XB, hc)
 
-        # m1[n, r, u] = wy[n, r, :] @ T_h[:, u]
-        m1 = jax.lax.dot_general(
-            wy, tbl_ref[0, h],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Ns, RT, tw)
-        # bias[n, r, x] = sum_u m1[n, r, u] * wx[n, x, u]  (batch over n,
-        # dim 0 on both operands)
+        # bias[n, r, x] = sum_u m1[h][n, r, u] * wx[n, x, u]  (batch over
+        # n, dim 0 on both operands)
         bias = jax.lax.dot_general(
-            m1.astype(wdt), wx,
+            m1_ref[h], wx,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (Ns, RT, XB)
 
-        # s[n, r, x] = sum_c k_h[n, c] * q3[r, x, c]
-        s = jax.lax.dot_general(
-            k_h, q3,
-            dimension_numbers=(((1,), (2,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Ns, RT, XB)
-        s = s * scale + bias
+        for r in range(RT):
+            q_rh = q_ref[0, r, :, h * hc : (h + 1) * hc]  # (XB, hc)
+            # s[n, x] = k_h @ q_rh^T
+            s = jax.lax.dot_general(
+                k_h, q_rh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Ns, XB)
+            s = s * scale + bias[:, r, :]
 
-        # softmax over Ns (axis 0), fp32
-        s = s - jnp.max(s, axis=0, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=0, keepdims=True)
+            # softmax over Ns (axis 0), fp32
+            s = s - jnp.max(s, axis=0, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=0, keepdims=True)
 
-        # out[r, x, c] = sum_n p[n, r, x] * v_h[n, c]
-        out_h = jax.lax.dot_general(
-            p.astype(v_h.dtype), v_h,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (RT, XB, hc)
-        o_ref[0, :, :, h * hc : (h + 1) * hc] = out_h.astype(o_ref.dtype)
+            # out[x, c] = p[:, x]^T @ v_h[:, c]
+            out_rh = jax.lax.dot_general(
+                p.astype(v_h.dtype), v_h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (XB, hc)
+            o_ref[0, r, :, h * hc : (h + 1) * hc] = out_rh.astype(
+                o_ref.dtype
+            )
 
 
 def fused_deform_attention_fwd(
@@ -205,6 +221,7 @@ def fused_deform_attention_fwd(
                                lambda b, t, x: (b, t, x, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BG, H, W, Cg), q.dtype),
+        scratch_shapes=[pltpu.VMEM((h_g, Ns, RT, tw), q.dtype)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * BG * H * W * Ns * (2 * hc * h_g + tw * h_g)

@@ -111,3 +111,28 @@ def test_pallas_path_trains():
     norms = [float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads)]
     assert all(np.isfinite(n) for n in norms)
     assert sum(norms) > 0
+
+
+def test_full_backbone_pallas_matches_xla():
+    """Whole DAT backbone with kernel_impl='pallas' == 'xla' (tiny net)."""
+    import dataclasses
+
+    from dat_segmentation_tpu.models.dat import DAT
+
+    kw = dict(
+        img_size=32, patch_size=4, dim_stem=8, dims=(8, 16, 32, 64),
+        depths=(1, 1, 1, 1), heads=(2, 2, 4, 4), groups=(1, 2, 2, 4),
+        stage_spec=(("D",), ("D",), ("X",), ("D",)),
+        use_pes=(True,) * 4, strides=(8, 4, 2, 1),
+        offset_range_factor=(-1, -1, -1, -1), use_dwc_mlps=(True,) * 4,
+        use_lpus=(True,) * 4, use_conv_patches=True,
+    )
+    x = jnp.asarray(np.random.RandomState(5).randn(1, 32, 32, 3), jnp.float32)
+    m_xla = DAT(**kw, kernel_impl="xla")
+    variables = m_xla.init(jax.random.PRNGKey(0), x)
+    ref = m_xla.apply(variables, x)
+    got = DAT(**kw, kernel_impl="pallas").apply(variables, x)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )

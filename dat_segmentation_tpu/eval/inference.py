@@ -35,6 +35,29 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _np_softmax(logits: np.ndarray) -> np.ndarray:
+    x = logits.astype(np.float32)
+    x -= x.max(axis=-1, keepdims=True)
+    np.exp(x, out=x)
+    x /= x.sum(axis=-1, keepdims=True)
+    return x
+
+
+def _resize_probs(probs: np.ndarray, out_hw) -> np.ndarray:
+    """Bilinear resize of (H, W, C) float32 with arbitrary C (cv2 5.x
+    rejects high channel counts, so resize in <=4-channel chunks)."""
+    h, w, c = probs.shape
+    out = np.empty((out_hw[0], out_hw[1], c), np.float32)
+    for lo in range(0, c, 4):
+        hi = min(lo + 4, c)
+        out[..., lo:hi] = cv2.resize(
+            np.ascontiguousarray(probs[..., lo:hi]),
+            (out_hw[1], out_hw[0]),
+            interpolation=cv2.INTER_LINEAR,
+        ).reshape(out_hw[0], out_hw[1], hi - lo)
+    return out
+
+
 class SegInferencer:
     """Wraps a flax segmentor for deployment-style inference.
 
@@ -61,6 +84,7 @@ class SegInferencer:
         bucket: int = 128,
         compute_dtype=jnp.bfloat16,
         align_corners: bool = False,
+        transfer_dtype=jnp.float16,
     ):
         self.model = model
         self.num_classes = num_classes
@@ -82,7 +106,10 @@ class SegInferencer:
             out = self.model.apply(
                 self.variables, image.astype(compute_dtype), train=False
             )
-            return out.astype(jnp.float32)
+            # f16 transfer halves device->host traffic (hundreds of MB of
+            # logits per val image); softmax/averaging happen on the host
+            # in f32.
+            return out.astype(transfer_dtype)
 
         self._fwd = _fwd
 
@@ -95,7 +122,9 @@ class SegInferencer:
         padded = np.zeros((hb, wb, 3), np.float32)
         padded[:h, :w] = img
         logits = self._fwd(jnp.asarray(padded[None]))
-        return np.asarray(logits[0, :h, :w])
+        return np.asarray(jax.device_get(logits))[0, :h, :w].astype(
+            np.float32
+        )
 
     def logits_slide(self, img: np.ndarray) -> np.ndarray:
         """mmseg 'slide' mode: 512^2 crops at stride 341, averaged where
@@ -116,7 +145,9 @@ class SegInferencer:
                 y1 = min(r * sh, hp - ch)
                 x1 = min(c * sw, wp - cw)
                 crop = padded[y1 : y1 + ch, x1 : x1 + cw]
-                out = np.asarray(self._fwd(jnp.asarray(crop[None]))[0])
+                out = np.asarray(
+                    jax.device_get(self._fwd(jnp.asarray(crop[None])))
+                )[0].astype(np.float32)
                 total[y1 : y1 + ch, x1 : x1 + cw] += out
                 count[y1 : y1 + ch, x1 : x1 + cw] += 1.0
         return (total / count)[:h, :w]
@@ -166,10 +197,12 @@ class SegInferencer:
                 logits = self.logits(np.ascontiguousarray(inp))
                 if do_flip:
                     logits = logits[:, ::-1]
-                probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
-                probs = resize_bilinear(
-                    probs[None], ori, align_corners=self.align_corners
-                )[0]
-                prob_sum += np.asarray(probs, np.float32)
+                # post-processing on the HOST: eager device ops would
+                # dispatch one tiny XLA program per op (softmax, resize,
+                # ...) — tens of seconds per image through the tunnel.
+                probs = _np_softmax(logits)
+                if probs.shape[:2] != tuple(ori):
+                    probs = _resize_probs(probs, ori)
+                prob_sum += probs
                 n += 1
         return np.argmax(prob_sum / n, axis=-1).astype(np.int32)

@@ -103,12 +103,14 @@ class SegInferencer:
 
         @functools.partial(jax.jit, static_argnums=())
         def _fwd(image):
+            # stride-4 logits + f16 cut device->host transfer ~32x vs
+            # full-resolution f32 logits (the upsample is linear, so
+            # doing it on the host after slicing is exact); softmax and
+            # averaging happen on the host in f32.
             out = self.model.apply(
-                self.variables, image.astype(compute_dtype), train=False
+                self.variables, image.astype(compute_dtype), train=False,
+                upsample=False,
             )
-            # f16 transfer halves device->host traffic (hundreds of MB of
-            # logits per val image); softmax/averaging happen on the host
-            # in f32.
             return out.astype(transfer_dtype)
 
         self._fwd = _fwd
@@ -121,10 +123,10 @@ class SegInferencer:
         hb, wb = _round_up(h, self.bucket), _round_up(w, self.bucket)
         padded = np.zeros((hb, wb, 3), np.float32)
         padded[:h, :w] = img
-        logits = self._fwd(jnp.asarray(padded[None]))
-        return np.asarray(jax.device_get(logits))[0, :h, :w].astype(
-            np.float32
-        )
+        small = self._fwd(jnp.asarray(padded[None]))  # (1, hb/s, wb/s, C)
+        small = np.asarray(jax.device_get(small))[0].astype(np.float32)
+        logits = _resize_probs(small, (hb, wb))
+        return logits[:h, :w]
 
     def logits_slide(self, img: np.ndarray) -> np.ndarray:
         """mmseg 'slide' mode: 512^2 crops at stride 341, averaged where
@@ -145,9 +147,10 @@ class SegInferencer:
                 y1 = min(r * sh, hp - ch)
                 x1 = min(c * sw, wp - cw)
                 crop = padded[y1 : y1 + ch, x1 : x1 + cw]
-                out = np.asarray(
+                small = np.asarray(
                     jax.device_get(self._fwd(jnp.asarray(crop[None])))
                 )[0].astype(np.float32)
+                out = _resize_probs(small, (ch, cw))
                 total[y1 : y1 + ch, x1 : x1 + cw] += out
                 count[y1 : y1 + ch, x1 : x1 + cw] += 1.0
         return (total / count)[:h, :w]

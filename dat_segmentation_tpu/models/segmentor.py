@@ -38,7 +38,12 @@ class EncoderDecoder(nn.Module):
         train: bool = False,
         deterministic: bool = True,
         with_aux: Optional[bool] = None,
+        upsample: bool = True,
     ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
+        """``upsample=False`` returns stride-4 logits (the head's native
+        resolution); eval transfers those and upsamples on the host — the
+        bilinear upsample is linear, so resize-then-slice equals
+        slice-then-resize and host f32 matches mmseg's resize exactly."""
         if with_aux is None:
             with_aux = train and self.auxiliary_head is not None
         feats = self.backbone(x, deterministic=deterministic, train=train)
@@ -47,9 +52,10 @@ class EncoderDecoder(nn.Module):
         logits = self.decode_head(
             head_feats, train=train, deterministic=deterministic
         )
-        logits = resize_bilinear(
-            logits, x.shape[1:3], align_corners=self.align_corners
-        )
+        if upsample:
+            logits = resize_bilinear(
+                logits, x.shape[1:3], align_corners=self.align_corners
+            )
         # trace the aux head during init even in eval mode so its params
         # (and batch stats) always exist in the variable tree
         if self.auxiliary_head is not None and (with_aux or self.is_initializing()):

@@ -32,7 +32,8 @@ def _fetch(tree):
         np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
 
 
-def bench_train(batch: int = 2, config: str = "upn_tiny_160k_dp03_lr6"):
+def bench_train(batch: int = 2, config: str = "upn_tiny_160k_dp03_lr6",
+                remat: bool = False):
     """Full train step (fwd+bwd+AdamW) images/sec — the reference trains
     2 imgs/GPU x 8 GPUs (configs/dat/upn_tiny_160k_dp03_lr6.py:65-66)."""
     import numpy as np
@@ -49,6 +50,18 @@ def bench_train(batch: int = 2, config: str = "upn_tiny_160k_dp03_lr6"):
     from dat_segmentation_tpu.train import make_optimizer, warmup_poly_schedule
 
     cfg = get_config(config)
+    if remat:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                backbone=dataclasses.replace(
+                    cfg.model.backbone, use_checkpoint=True
+                ),
+            ),
+        )
     model = build_model(cfg.model)
     mesh = make_mesh({"data": 1})
     sched = warmup_poly_schedule(cfg.optimizer.lr, cfg.schedule.max_iters)
@@ -84,7 +97,8 @@ def bench_train(batch: int = 2, config: str = "upn_tiny_160k_dp03_lr6"):
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip",
         "value": round(batch / dt, 2),
-        "unit": f"img/s ({config} 512x512 bf16 train step)",
+        "unit": f"img/s ({config} 512x512 bf16 train step"
+                f"{', remat' if remat else ''})",
         "vs_baseline": 0.0,
     }))
     print(f"# step={dt*1e3:.1f}ms loss={float(m['loss']):.3f}", file=sys.stderr)
@@ -156,9 +170,10 @@ if __name__ == "__main__":
     ap.add_argument("--train", action="store_true",
                     help="benchmark the full train step instead")
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
     if args.train:
-        bench_train(batch=args.batch or 2)
+        bench_train(batch=args.batch or 2, remat=args.remat)
     else:
         if args.batch:
             BATCH = args.batch

@@ -13,7 +13,6 @@ drop-path 0.4, lr 2e-4 — the mmseg FPN recipes' AdamW lr 2e-4 w/ poly).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict
 
 from .schema import (
     BackboneConfig,

@@ -11,7 +11,6 @@ result collection (tools/test.py:290-298).
 
 from __future__ import annotations
 
-import json
 import time
 from typing import Optional, Sequence
 

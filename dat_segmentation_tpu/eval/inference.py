@@ -28,7 +28,6 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 from ..data.ade20k import IMG_NORM_MEAN, IMG_NORM_STD
-from ..ops.interpolate import resize_bilinear
 
 
 def _round_up(v: int, m: int) -> int:

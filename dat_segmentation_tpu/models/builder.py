@@ -7,12 +7,11 @@ A decorator-based head registry plus ``build_model`` /
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, Dict
 
 from flax import linen as nn
 
-from ..configs.schema import BackboneConfig, HeadConfig, ModelConfig, NeckConfig
+from ..configs.schema import BackboneConfig, HeadConfig, ModelConfig
 from .dat import DAT
 from .heads import ClsHead, FCNHead, FPNHead, FPNNeck, UPerHead
 from .segmentor import DatClassifier, EncoderDecoder

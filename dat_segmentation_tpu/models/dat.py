@@ -23,10 +23,9 @@ the jax.checkpoint equivalent of the reference's per-stage
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .deformable_attention import DeformableAttention

@@ -28,7 +28,7 @@ Semantics parity notes (traps called out in SURVEY.md §7):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

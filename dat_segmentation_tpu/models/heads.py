@@ -12,7 +12,7 @@ which reproduces the mmseg SyncBN configuration without NCCL.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ tanh approximation drifts ~1e-3 per block and compounds over 26 blocks.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,15 +9,13 @@ auxiliary-head logits computed on the stage-2 feature (in_index=2).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.interpolate import resize_bilinear
-from .dat import DAT
-from .heads import ClsHead, FCNHead, FPNHead, FPNNeck, UPerHead
+from .heads import ClsHead
 
 
 class EncoderDecoder(nn.Module):

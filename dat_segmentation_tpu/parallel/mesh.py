@@ -10,7 +10,7 @@ program over ICI; nothing explicit to tune. Multi-host: call
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import jax
 import numpy as np

@@ -10,8 +10,7 @@ Fp16OptimizerHook at configs/dat/upn_tiny_160k_dp03_lr6.py:56-63).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +19,6 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..train.losses import (
-    cross_entropy_loss,
     label_smoothing_cross_entropy,
     segmentation_loss,
     soft_target_cross_entropy,

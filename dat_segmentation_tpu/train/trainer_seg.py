@@ -34,7 +34,7 @@ from ..parallel import (
 from ..parallel.mesh import shard_batch
 from ..utils.logging import MetricLogger
 from .checkpoint import CheckpointManager, load_pretrained, merge_pretrained
-from .metrics import StreamingIoU, miou_from_totals
+from .metrics import StreamingIoU
 from .optim import make_optimizer
 from .schedules import warmup_cosine_schedule, warmup_poly_schedule
 

@@ -133,6 +133,13 @@ def normalize(img, mean=IMG_NORM_MEAN, std=IMG_NORM_STD):
     return (img.astype(np.float32) - mean) / std
 
 
+def _native():
+    """Opt-in C++ fast path (DAT_TPU_NATIVE=1; see native/imageops.cpp)."""
+    from .. import native
+
+    return native if native.enabled() else None
+
+
 def reduce_zero_label(mask, ignore_index=255):
     # 0 -> ignore, k -> k-1; wrapped values (original 255) -> ignore
     # (reference datasets/ade20k.py:103-106)
@@ -158,6 +165,26 @@ def train_transform(
     if rng.random() < 0.5:
         img = np.ascontiguousarray(img[:, ::-1])
         mask = np.ascontiguousarray(mask[:, ::-1])
+    nat = _native()
+    if nat is not None:
+        # fused single-pass photometric distortion + normalize + pad
+        # (same random draws/order as the python path)
+        bright = rng.uniform(-32, 32) if rng.random() < 0.5 else 0.0
+        mode = rng.randint(0, 1)
+        alpha = rng.uniform(0.5, 1.5) if rng.random() < 0.5 else 1.0
+        sat = rng.uniform(0.5, 1.5) if rng.random() < 0.5 else 1.0
+        hue = rng.uniform(-18, 18) if rng.random() < 0.5 else 0.0
+        img = nat.photometric_distortion_u8(
+            img.astype(np.uint8), brightness=bright, contrast=alpha,
+            saturation=sat, hue=hue, contrast_first=(mode == 1),
+        )
+        img = nat.normalize_pad_f32(
+            img, IMG_NORM_MEAN, IMG_NORM_STD, crop_size[1], crop_size[0]
+        )
+        _, mask = pad_to_size(
+            np.zeros_like(mask, np.uint8), mask, crop_size, ignore_index
+        )
+        return img, mask.astype(np.int32)
     img = photometric_distortion(img, rng)
     img = normalize(img)
     img, mask = pad_to_size(img, mask, crop_size, ignore_index)

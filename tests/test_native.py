@@ -85,3 +85,21 @@ def test_intersect_union_matches_jax_impl():
     np.testing.assert_array_equal(gi, np.asarray(ri))
     np.testing.assert_array_equal(gu, np.asarray(ru))
     np.testing.assert_array_equal(ga, np.asarray(ra))
+
+
+def test_native_pipeline_integration(tmp_path, monkeypatch):
+    """DAT_TPU_NATIVE=1 routes train_transform through the C++ ops."""
+    import random
+
+    monkeypatch.setenv("DAT_TPU_NATIVE", "1")
+    from dat_segmentation_tpu.data.ade20k import train_transform
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (260, 340, 3), np.uint8)
+    mask = rng.randint(0, 150, (260, 340)).astype(np.int32)
+    out_img, out_mask = train_transform(img, mask, random.Random(0),
+                                        crop_size=(128, 128))
+    assert out_img.shape == (128, 128, 3)
+    assert out_img.dtype == np.float32
+    assert out_mask.shape == (128, 128)
+    assert np.abs(out_img).max() < 5.0

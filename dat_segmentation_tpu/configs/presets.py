@@ -61,6 +61,7 @@ def _pp_backbone(dim_stem, dims, depths, heads, groups, drop_path) -> BackboneCo
         window_sizes=(7, 7, 7, 7),
         drop_path_rate=drop_path,
         use_checkpoint=False,
+        kernel_impl="auto",
     )
 
 

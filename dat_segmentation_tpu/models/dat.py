@@ -68,7 +68,7 @@ class TransformerStage(nn.Module):
     use_lpu: bool
     use_cmt_mlp: bool
     log_cpb: bool
-    kernel_impl: str = "xla"
+    kernel_impl: str = "xla"  # 'xla' | 'pallas' | 'auto' | 'gather'
 
     @nn.compact
     def __call__(
@@ -180,7 +180,7 @@ class DAT(nn.Module):
     log_cpb: Sequence[bool] = (False,) * 4
     out_indices: Sequence[int] = (0, 1, 2, 3)
     use_checkpoint: bool = False
-    kernel_impl: str = "xla"
+    kernel_impl: str = "xla"  # 'xla' | 'pallas' | 'auto' | 'gather'
 
     @nn.compact
     def __call__(

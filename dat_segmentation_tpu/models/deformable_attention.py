@@ -85,7 +85,7 @@ class DeformableAttention(nn.Module):
     no_off: bool = False
     attn_drop: float = 0.0
     proj_drop: float = 0.0
-    kernel_impl: str = "xla"  # 'xla' | 'pallas'
+    kernel_impl: str = "xla"  # 'xla' | 'pallas' | 'auto' | 'gather'
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
@@ -151,8 +151,15 @@ class DeformableAttention(nn.Module):
         k = dense(sampled, C, name="proj_k")
         v = dense(sampled, C, name="proj_v")
 
+        # 'auto': the fused kernel wins at small spatial sizes (measured
+        # on v5e: faster for W<=32 stages, slower at stage-0 128x128 where
+        # Mosaic's VMEM stack caps the x-block at 32 lanes)
+        impl = self.kernel_impl
+        if impl == "auto":
+            on_tpu = jax.default_backend() == "tpu"
+            impl = "pallas" if (on_tpu and min(H, W) <= 48) else "xla"
         use_pallas = (
-            self.kernel_impl == "pallas"
+            impl == "pallas"
             and self.use_pe
             and not (self.dwc_pe or self.fixed_pe or self.log_cpb)
             and not self.no_off

@@ -127,3 +127,20 @@ def test_evaluate_dataset_and_shard_merge(tmp_path, tiny_inferencer):
     merged = merge_shard_results([shard0, shard1], num_classes=20)
     assert merged["num_images"] == 4
     assert merged["mIoU"] == pytest.approx(full["mIoU"], abs=1e-12)
+
+
+def test_stride4_host_upsample_matches_device_path(tiny_inferencer):
+    """The inferencer's stride-4 + host-resize logits must match running
+    the model with its own device upsample (the resize is linear)."""
+    import jax
+    import jax.numpy as jnp
+
+    img = np.random.RandomState(7).randn(64, 64, 3).astype(np.float32)
+    got = tiny_inferencer.logits_whole(img)
+
+    full = tiny_inferencer.model.apply(
+        tiny_inferencer.variables, jnp.asarray(img[None]), train=False,
+        upsample=True,
+    )
+    ref = np.asarray(full)[0]
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)

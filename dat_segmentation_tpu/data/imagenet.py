@@ -49,83 +49,221 @@ def random_resized_crop(img, rng: random.Random, size=224,
     )
 
 
-# -- a RandAugment(m=9, mstd=0.5, inc) subset ------------------------------
+# -- RandAugment: the full timm rand-m9-mstd0.5-inc1 policy ----------------
+#
+# Reference recipe: datasets/imagenet.py:64-76 builds timm
+# ``create_transform(auto_augment='rand-m9-mstd0.5-inc1')``. That policy is
+# re-implemented here in full: the 15-op _RAND_TRANSFORMS set, per-op apply
+# probability 0.5, per-application magnitude ~ N(9, 0.5) clipped to [0, 10],
+# 'increasing'-severity argument mappings, random sign on signed ops, and
+# grey (128) fill for geometric warps. Pixel ops follow PIL semantics
+# (ImageOps/ImageEnhance), which timm delegates to.
+
+_MAX_LEVEL = 10.0
+_FILL = (128, 128, 128)
 
 
-def _blend(a, b, t):
-    return np.clip(a.astype(np.float32) * (1 - t) + b.astype(np.float32) * t,
-                   0, 255).astype(np.uint8)
+def _randomly_negate(v, rng):
+    return -v if rng.random() > 0.5 else v
 
 
-def _aug_ops():
-    def autocontrast(img, _):
-        lo, hi = img.min(), img.max()
+def _blend(degenerate, img, factor):
+    """PIL Image.blend with extrapolation (ImageEnhance semantics)."""
+    out = degenerate.astype(np.float32) + factor * (
+        img.astype(np.float32) - degenerate.astype(np.float32)
+    )
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _gray_l(img):
+    """PIL convert('L'): ITU-R 601-2 luma, truncated to int."""
+    f = img.astype(np.float32)
+    return (
+        (f[..., 0] * 299 + f[..., 1] * 587 + f[..., 2] * 114) / 1000
+    ).astype(np.uint8)
+
+
+def _warp(img, mtx):
+    """PIL Image.transform(AFFINE) equivalence: the matrix is the
+    output->input (inverse) map, border filled grey."""
+    return cv2.warpAffine(
+        img,
+        np.asarray(mtx, np.float32),
+        (img.shape[1], img.shape[0]),
+        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        borderMode=cv2.BORDER_CONSTANT,
+        borderValue=_FILL,
+    )
+
+
+def _op_autocontrast(img, level, rng):
+    out = np.empty_like(img)
+    for c in range(3):
+        ch = img[..., c]
+        lo, hi = int(ch.min()), int(ch.max())
         if hi <= lo:
-            return img
-        return ((img.astype(np.float32) - lo) * (255.0 / (hi - lo))).astype(
-            np.uint8
-        )
-
-    def equalize(img, _):
-        out = img.copy()
-        for c in range(3):
-            out[..., c] = cv2.equalizeHist(img[..., c])
-        return out
-
-    def rotate(img, m):
-        ang = 30.0 * m
-        mtx = cv2.getRotationMatrix2D(
-            (img.shape[1] / 2, img.shape[0] / 2), ang, 1.0
-        )
-        return cv2.warpAffine(img, mtx, (img.shape[1], img.shape[0]))
-
-    def color(img, m):
-        gray = cv2.cvtColor(cv2.cvtColor(img, cv2.COLOR_RGB2GRAY),
-                            cv2.COLOR_GRAY2RGB)
-        return _blend(gray, img, 1.0 + m)
-
-    def contrast(img, m):
-        mean = np.full_like(img, int(img.mean()))
-        return _blend(mean, img, 1.0 + m)
-
-    def brightness(img, m):
-        return _blend(np.zeros_like(img), img, 1.0 + m)
-
-    def sharpness(img, m):
-        blur = cv2.GaussianBlur(img, (3, 3), 0)
-        return _blend(blur, img, 1.0 + m)
-
-    def shear_x(img, m):
-        mtx = np.float32([[1, 0.3 * m, 0], [0, 1, 0]])
-        return cv2.warpAffine(img, mtx, (img.shape[1], img.shape[0]))
-
-    def translate_x(img, m):
-        mtx = np.float32([[1, 0, 0.45 * m * img.shape[1]], [0, 1, 0]])
-        return cv2.warpAffine(img, mtx, (img.shape[1], img.shape[0]))
-
-    def posterize(img, m):
-        bits = max(1, int(8 - 4 * abs(m)))
-        shift = 8 - bits
-        return ((img >> shift) << shift).astype(np.uint8)
-
-    return [autocontrast, equalize, rotate, color, contrast, brightness,
-            sharpness, shear_x, translate_x, posterize]
+            out[..., c] = ch
+        else:
+            scale = 255.0 / (hi - lo)
+            out[..., c] = np.clip(
+                (ch.astype(np.float32) - lo) * scale + 0.5, 0, 255
+            ).astype(np.uint8)
+    return out
 
 
-_OPS = None
+def _op_equalize(img, level, rng):
+    """PIL ImageOps.equalize LUT construction, per channel."""
+    out = np.empty_like(img)
+    for c in range(3):
+        ch = img[..., c]
+        h = np.bincount(ch.ravel(), minlength=256)
+        nonzero = h[h != 0]
+        if len(nonzero) <= 1:
+            out[..., c] = ch
+            continue
+        step = (int(h.sum()) - int(nonzero[-1])) // 255
+        if step == 0:
+            out[..., c] = ch
+            continue
+        n = step // 2
+        lut = np.empty(256, np.int64)
+        for i in range(256):
+            lut[i] = n // step
+            n += int(h[i])
+        out[..., c] = np.clip(lut, 0, 255).astype(np.uint8)[ch]
+    return out
 
 
-def rand_augment(img, rng: random.Random, *, n=2, magnitude=9, mstd=0.5):
-    global _OPS
-    if _OPS is None:
-        _OPS = _aug_ops()
+def _op_invert(img, level, rng):
+    return (255 - img).astype(np.uint8)
+
+
+def _op_rotate(img, level, rng):
+    deg = _randomly_negate(level / _MAX_LEVEL * 30.0, rng)
+    # PIL rotates counterclockwise for positive angles; so does cv2.
+    mtx = cv2.getRotationMatrix2D(
+        ((img.shape[1] - 1) / 2, (img.shape[0] - 1) / 2), deg, 1.0
+    )
+    return cv2.warpAffine(
+        img, mtx, (img.shape[1], img.shape[0]),
+        flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=_FILL,
+    )
+
+
+def _op_posterize_inc(img, level, rng):
+    bits = 4 - int(level / _MAX_LEVEL * 4)
+    if bits >= 8:
+        return img
+    mask = np.uint8(255 & ~((1 << (8 - bits)) - 1)) if bits > 0 else np.uint8(0)
+    return (img & mask).astype(np.uint8)
+
+
+def _op_solarize_inc(img, level, rng):
+    thresh = 256 - int(level / _MAX_LEVEL * 256)
+    return np.where(img >= thresh, 255 - img, img).astype(np.uint8)
+
+
+def _op_solarize_add(img, level, rng):
+    add = int(level / _MAX_LEVEL * 110)
+    bumped = np.clip(img.astype(np.int32) + add, 0, 255).astype(np.uint8)
+    return np.where(img < 128, bumped, img)
+
+
+def _enhance_factor(level, rng):
+    # timm _enhance_increasing_level_to_arg
+    v = level / _MAX_LEVEL * 0.9
+    return max(0.1, 1.0 + _randomly_negate(v, rng))
+
+
+def _op_color(img, level, rng):
+    degenerate = np.repeat(_gray_l(img)[..., None], 3, axis=-1)
+    return _blend(degenerate, img, _enhance_factor(level, rng))
+
+
+def _op_contrast(img, level, rng):
+    mean = int(float(_gray_l(img).mean()) + 0.5)
+    return _blend(np.full_like(img, mean), img, _enhance_factor(level, rng))
+
+
+def _op_brightness(img, level, rng):
+    return _blend(np.zeros_like(img), img, _enhance_factor(level, rng))
+
+
+def _op_sharpness(img, level, rng):
+    # PIL ImageFilter.SMOOTH kernel; PIL keeps the 1px border unfiltered
+    kernel = np.array(
+        [[1, 1, 1], [1, 5, 1], [1, 1, 1]], np.float32
+    ) / 13.0
+    smooth = cv2.filter2D(img, -1, kernel, borderType=cv2.BORDER_REPLICATE)
+    smooth[0, :] = img[0, :]
+    smooth[-1, :] = img[-1, :]
+    smooth[:, 0] = img[:, 0]
+    smooth[:, -1] = img[:, -1]
+    return _blend(smooth, img, _enhance_factor(level, rng))
+
+
+def _op_shear_x(img, level, rng):
+    s = _randomly_negate(level / _MAX_LEVEL * 0.3, rng)
+    return _warp(img, [[1, s, 0], [0, 1, 0]])
+
+
+def _op_shear_y(img, level, rng):
+    s = _randomly_negate(level / _MAX_LEVEL * 0.3, rng)
+    return _warp(img, [[1, 0, 0], [s, 1, 0]])
+
+
+def _op_translate_x_rel(img, level, rng):
+    p = _randomly_negate(level / _MAX_LEVEL * 0.45, rng) * img.shape[1]
+    return _warp(img, [[1, 0, p], [0, 1, 0]])
+
+
+def _op_translate_y_rel(img, level, rng):
+    p = _randomly_negate(level / _MAX_LEVEL * 0.45, rng) * img.shape[0]
+    return _warp(img, [[1, 0, 0], [0, 1, p]])
+
+
+# timm _RAND_TRANSFORMS order (rand_augment_ops with increasing=True)
+RAND_AUGMENT_OPS = {
+    "AutoContrast": _op_autocontrast,
+    "Equalize": _op_equalize,
+    "Invert": _op_invert,
+    "Rotate": _op_rotate,
+    "Posterize": _op_posterize_inc,
+    "Solarize": _op_solarize_inc,
+    "SolarizeAdd": _op_solarize_add,
+    "Color": _op_color,
+    "Contrast": _op_contrast,
+    "Brightness": _op_brightness,
+    "Sharpness": _op_sharpness,
+    "ShearX": _op_shear_x,
+    "ShearY": _op_shear_y,
+    "TranslateXRel": _op_translate_x_rel,
+    "TranslateYRel": _op_translate_y_rel,
+}
+
+
+def rand_augment(
+    img,
+    rng: random.Random,
+    *,
+    n=2,
+    magnitude=9,
+    mstd=0.5,
+    prob=0.5,
+):
+    """Apply ``n`` randomly chosen ops, each with probability ``prob`` and
+    magnitude ~ N(magnitude, mstd) clipped to [0, 10] (timm AugmentOp)."""
+    ops = list(RAND_AUGMENT_OPS.values())
     for _ in range(n):
-        op = _OPS[rng.randint(0, len(_OPS) - 1)]
-        m = rng.gauss(magnitude, mstd)
-        m = max(0.0, min(10.0, m)) / 10.0
-        if rng.random() < 0.5:
-            m = -m
-        img = op(img, m)
+        op = ops[rng.randint(0, len(ops) - 1)]
+        if prob < 1.0 and rng.random() > prob:
+            continue
+        level = magnitude
+        if mstd > 0:
+            level = rng.gauss(magnitude, mstd)
+        level = max(0.0, min(_MAX_LEVEL, level))
+        img = op(img, level, rng)
     return img
 
 

@@ -3,23 +3,155 @@
 The TPU equivalent of ``tools/test.py --eval mIoU [--aug-test]``
 (reference: tools/test.py:264-317): per image, TTA-predict at original
 resolution against the original-resolution GT, accumulate per-class
-intersection/union, report mIoU/aAcc. Counters are plain int arrays, so
-multi-host eval just sums them across processes
-(jax.experimental.multihost_utils) instead of the reference's NCCL/tmpdir
-result collection (tools/test.py:290-298).
+intersection/union, report mIoU/aAcc.
+
+Two execution modes:
+* ``batch_size=1``: the straightforward per-image loop.
+* ``batch_size>1`` (whole-image mode): images are grouped by padded
+  bucket shape and run ``batch_size`` per forward — val is latency-bound
+  per image otherwise. Numerics are identical (same padded forward,
+  per-image slicing).
+
+Multi-host: pass ``shard_info`` so each process evaluates a disjoint
+slice, and ``distributed=True`` to psum the intersection/union counters
+in-run via jax.experimental.multihost_utils — replacing the reference's
+NCCL/tmpdir result collection (tools/test.py:290-298). ``--shard`` +
+offline ``merge_shard_results`` remains for fleet-style runs.
 """
 
 from __future__ import annotations
 
 import time
+from collections import defaultdict
 from typing import Optional, Sequence
 
 import numpy as np
 
 from ..train.metrics import StreamingIoU
-from .inference import SegInferencer
+from .inference import SegInferencer, _np_softmax, _resize_probs, _round_up
 
 MS_RATIOS = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75)  # tools/test.py:143-148
+
+
+def _reduce_across_processes(iou: StreamingIoU, done: int):
+    """Sum IoU counters + image count over all JAX processes
+    (no-op single-process)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return iou, done
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    counts = np.stack([iou.inter, iou.union, iou.area_label]).astype(np.int64)
+    payload = np.concatenate(
+        [counts, np.full((3, 1), done, np.int64)], axis=1
+    )
+    stacked = multihost_utils.process_allgather(jnp.asarray(payload))
+    totals = np.asarray(stacked).astype(np.int64).sum(axis=0)
+    iou.inter, iou.union, iou.area_label = (
+        totals[0, :-1], totals[1, :-1], totals[2, :-1],
+    )
+    return iou, int(totals[0, -1])
+
+
+class _BucketBatcher:
+    """Groups same-padded-bucket TTA inputs into fixed-size batches.
+
+    Every flush runs one (batch, hb, wb) forward — the batch dim never
+    varies, so each distinct bucket shape compiles exactly once. Partial
+    buffers are zero-padded up to the batch size at flush_all().
+    """
+
+    def __init__(self, inferencer: SegInferencer, batch_size: int, on_logits):
+        self.inf = inferencer
+        self.batch_size = batch_size
+        self.on_logits = on_logits  # (meta, (rh, rw, C) logits) -> None
+        self.buffers = defaultdict(list)  # (hb, wb) -> [(img, meta)]
+
+    def add(self, img: np.ndarray, meta: dict):
+        b = self.inf.bucket
+        key = (_round_up(img.shape[0], b), _round_up(img.shape[1], b))
+        buf = self.buffers[key]
+        buf.append((img, meta))
+        if len(buf) >= self.batch_size:
+            self._flush(key)
+
+    def _flush(self, key):
+        entries = self.buffers.pop(key, [])
+        if not entries:
+            return
+        hb, wb = key
+        padded = np.zeros((self.batch_size, hb, wb, 3), np.float32)
+        for i, (img, _) in enumerate(entries):
+            padded[i, : img.shape[0], : img.shape[1]] = img
+        small = self.inf.forward_batch(padded)  # (B, hb/s, wb/s, C)
+        for i, (img, meta) in enumerate(entries):
+            h, w = img.shape[:2]
+            logits = _resize_probs(small[i], (hb, wb))[:h, :w]
+            self.on_logits(meta, logits)
+
+    def flush_all(self):
+        for key in list(self.buffers):
+            self._flush(key)
+
+
+def _evaluate_batched(
+    inferencer: SegInferencer,
+    dataset,
+    iou: StreamingIoU,
+    *,
+    indices,
+    img_scale,
+    ratios,
+    flip: bool,
+    keep_ratio: bool,
+    batch_size: int,
+    log_interval: int,
+    verbose: bool,
+) -> int:
+    n_aug = len(ratios) * (2 if flip else 1)
+    pending = {}  # idx -> [prob_sum, count, gt]
+    done = [0]
+    t0 = time.time()
+
+    def on_logits(meta, logits):
+        idx, do_flip, ori = meta["idx"], meta["flip"], meta["ori"]
+        if do_flip:
+            logits = logits[:, ::-1]
+        probs = _np_softmax(logits)
+        if probs.shape[:2] != tuple(ori):
+            probs = _resize_probs(probs, ori)
+        acc = pending[idx]
+        acc[0] += probs
+        acc[1] += 1
+        if acc[1] == n_aug:
+            pred = np.argmax(acc[0], axis=-1).astype(np.int32)
+            iou.update(pred, acc[2])
+            del pending[idx]
+            done[0] += 1
+            if verbose and done[0] % log_interval == 0:
+                rate = done[0] / (time.time() - t0)
+                print(
+                    f"[eval] {done[0]} imgs, {rate:.2f} img/s, "
+                    f"running mIoU={iou.miou()*100:.2f}"
+                )
+
+    batcher = _BucketBatcher(inferencer, batch_size, on_logits)
+    for idx in indices:
+        raw, gt = dataset.load_raw(idx)
+        ori = gt.shape
+        pending[idx] = [
+            np.zeros((*ori, inferencer.num_classes), np.float32), 0, gt,
+        ]
+        for inp, do_flip in inferencer.tta_inputs(
+            raw, img_scale=img_scale, ratios=ratios, flip=flip,
+            keep_ratio=keep_ratio,
+        ):
+            batcher.add(inp, {"idx": idx, "flip": do_flip, "ori": ori})
+    batcher.flush_all()
+    assert not pending, f"{len(pending)} images never finalized"
+    return done[0]
 
 
 def evaluate_dataset(
@@ -33,6 +165,8 @@ def evaluate_dataset(
     keep_ratio: bool = True,
     max_images: Optional[int] = None,
     shard_info: Optional[tuple] = None,
+    batch_size: int = 1,
+    distributed: bool = False,
     log_interval: int = 50,
     verbose: bool = True,
 ) -> dict:
@@ -42,26 +176,37 @@ def evaluate_dataset(
     iou = StreamingIoU(num_classes, ignore_index)
     rank, world = shard_info or (0, 1)
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
-    t0 = time.time()
-    done = 0
-    for idx in range(rank, n, world):
-        raw, gt = dataset.load_raw(idx)
-        pred = inferencer.predict(
-            raw,
-            img_scale=img_scale,
-            ratios=ratios,
-            flip=flip,
-            keep_ratio=keep_ratio,
-            ori_shape=gt.shape,
+    indices = range(rank, n, world)
+    if batch_size > 1 and inferencer.mode == "whole":
+        done = _evaluate_batched(
+            inferencer, dataset, iou,
+            indices=indices, img_scale=img_scale, ratios=ratios, flip=flip,
+            keep_ratio=keep_ratio, batch_size=batch_size,
+            log_interval=log_interval, verbose=verbose,
         )
-        iou.update(pred, gt)
-        done += 1
-        if verbose and done % log_interval == 0:
-            rate = done / (time.time() - t0)
-            print(
-                f"[eval] {done} imgs, {rate:.2f} img/s, "
-                f"running mIoU={iou.miou()*100:.2f}"
+    else:
+        t0 = time.time()
+        done = 0
+        for idx in indices:
+            raw, gt = dataset.load_raw(idx)
+            pred = inferencer.predict(
+                raw,
+                img_scale=img_scale,
+                ratios=ratios,
+                flip=flip,
+                keep_ratio=keep_ratio,
+                ori_shape=gt.shape,
             )
+            iou.update(pred, gt)
+            done += 1
+            if verbose and done % log_interval == 0:
+                rate = done / (time.time() - t0)
+                print(
+                    f"[eval] {done} imgs, {rate:.2f} img/s, "
+                    f"running mIoU={iou.miou()*100:.2f}"
+                )
+    if distributed:
+        iou, done = _reduce_across_processes(iou, done)
     miou = iou.miou()
     from ..train.metrics import miou_from_totals
 
@@ -78,7 +223,7 @@ def evaluate_dataset(
 
 
 def merge_shard_results(results: Sequence[dict], num_classes: int = 150) -> dict:
-    """Sum per-shard counters (multi-host eval collection)."""
+    """Sum per-shard counters (offline multi-host eval collection)."""
     inter = np.zeros(num_classes, np.int64)
     union = np.zeros(num_classes, np.int64)
     n = 0

@@ -116,6 +116,46 @@ class SegInferencer:
 
     # -- single forwards ---------------------------------------------------
 
+    def forward_batch(self, padded: np.ndarray) -> np.ndarray:
+        """Batched padded forward: (B, hb, wb, 3) normalized float32 ->
+        (B, hb/4, wb/4, C) float32 stride-4 logits on the host.
+
+        One compiled program per distinct (B, hb, wb); callers keep B
+        fixed and group images by padded bucket shape so the val set
+        reuses a handful of compilations (the batched analog of
+        single_gpu_test throughput, reference tools/test.py:274).
+        """
+        out = self._fwd(jnp.asarray(padded))
+        return np.asarray(jax.device_get(out)).astype(np.float32)
+
+    def tta_inputs(
+        self,
+        raw_img: np.ndarray,
+        *,
+        img_scale: Tuple[int, int] = (2048, 512),
+        ratios: Sequence[float] = (1.0,),
+        flip: bool = False,
+        keep_ratio: bool = True,
+    ):
+        """Yield (normalized_img, do_flip) for every TTA variant of a raw
+        RGB image (mmseg MultiScaleFlipAug semantics,
+        _base_/datasets/ade20k.py:20-34)."""
+        for ratio in ratios:
+            tw, th = int(img_scale[0] * ratio), int(img_scale[1] * ratio)
+            if keep_ratio:
+                h, w = raw_img.shape[:2]
+                f = min(tw / w, th / h)
+                rw, rh = int(w * f + 0.5), int(h * f + 0.5)
+            else:
+                rw, rh = tw, th
+            resized = cv2.resize(
+                raw_img, (rw, rh), interpolation=cv2.INTER_LINEAR
+            )
+            norm = (resized.astype(np.float32) - IMG_NORM_MEAN) / IMG_NORM_STD
+            for do_flip in ((False, True) if flip else (False,)):
+                inp = norm[:, ::-1] if do_flip else norm
+                yield np.ascontiguousarray(inp), do_flip
+
     def logits_whole(self, img: np.ndarray) -> np.ndarray:
         """img: (H, W, 3) normalized float32. Returns (H, W, C) float32."""
         h, w = img.shape[:2]
@@ -182,29 +222,19 @@ class SegInferencer:
         ori = ori_shape or raw_img.shape[:2]
         prob_sum = np.zeros((*ori, self.num_classes), np.float32)
         n = 0
-        for ratio in ratios:
-            tw, th = int(img_scale[0] * ratio), int(img_scale[1] * ratio)
-            if keep_ratio:
-                h, w = raw_img.shape[:2]
-                f = min(tw / w, th / h)
-                rw, rh = int(w * f + 0.5), int(h * f + 0.5)
-            else:
-                rw, rh = tw, th
-            resized = cv2.resize(
-                raw_img, (rw, rh), interpolation=cv2.INTER_LINEAR
-            )
-            norm = (resized.astype(np.float32) - IMG_NORM_MEAN) / IMG_NORM_STD
-            for do_flip in ((False, True) if flip else (False,)):
-                inp = norm[:, ::-1] if do_flip else norm
-                logits = self.logits(np.ascontiguousarray(inp))
-                if do_flip:
-                    logits = logits[:, ::-1]
-                # post-processing on the HOST: eager device ops would
-                # dispatch one tiny XLA program per op (softmax, resize,
-                # ...) — tens of seconds per image through the tunnel.
-                probs = _np_softmax(logits)
-                if probs.shape[:2] != tuple(ori):
-                    probs = _resize_probs(probs, ori)
-                prob_sum += probs
-                n += 1
+        for inp, do_flip in self.tta_inputs(
+            raw_img, img_scale=img_scale, ratios=ratios, flip=flip,
+            keep_ratio=keep_ratio,
+        ):
+            logits = self.logits(inp)
+            if do_flip:
+                logits = logits[:, ::-1]
+            # post-processing on the HOST: eager device ops would
+            # dispatch one tiny XLA program per op (softmax, resize,
+            # ...) — tens of seconds per image through the tunnel.
+            probs = _np_softmax(logits)
+            if probs.shape[:2] != tuple(ori):
+                probs = _resize_probs(probs, ori)
+            prob_sum += probs
+            n += 1
         return np.argmax(prob_sum / n, axis=-1).astype(np.int32)

@@ -178,6 +178,192 @@ def _kernel(
             )
 
 
+def _kernel_v2(
+    pos_ref,    # (1, Ns, 2) f32, (y, x) normalized
+    q_ref,      # (1, RT, W, Cg)
+    k_ref,      # (1, Ns, Cg)
+    v_ref,      # (1, Ns, Cg)
+    tbl_ref,    # (1, h_g, th, tw)
+    o_ref,      # (1, RT, W, Cg)
+    wx_ref,     # VMEM scratch (Ns, W, tw): x tap weights (per bg)
+    m1_ref,     # VMEM scratch (h_g, Ns, RT, tw): row-interpolated table
+    *,
+    H: int,
+    W: int,
+    RT: int,
+    XC: int,
+    h_g: int,
+    hc: int,
+    th: int,
+    tw: int,
+    scale: float,
+):
+    """Full-row-width kernel: every matmul keeps >=W lanes busy.
+
+    Layout rationale (v5e): the v1 kernel's per-sample bias dots ran
+    (RT x tw)@(tw x XB) with XB capped at 32 by the scoped-VMEM budget —
+    ~3% MXU utilization, which made the fused kernel LOSE to XLA at
+    stage 0. Here the x tap weights are built in fori_loop chunks (Mosaic
+    charges the f32 temporaries of a fori body once, not per chunk), so
+    the x-block spans the whole row (XB = W) and the bias dot runs
+    (RT x tw)@(tw x W); the y-interp collapses (Ns, RT) into one
+    (Ns*RT x th)@(th x tw) matmul.
+    """
+    Ns = pos_ref.shape[1]
+    t = pl.program_id(1)
+    wdt = q_ref.dtype
+
+    py = pos_ref[0, :, 0]  # (Ns,)
+    px = pos_ref[0, :, 1]
+
+    # --- x tap weights: per bg (same for every row tile), chunked builds
+    @pl.when(t == 0)
+    def _build_wx():
+        def body(i, carry):
+            xg = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, XC), 1) + i * XC
+            ).astype(jnp.float32)
+            xg = xg / max(W - 1.0, 1.0) * 2.0 - 1.0
+            dx = (xg - px[:, None]) * 0.5  # (Ns, XC)
+            fx = (dx + 1.0) * 0.5 * (tw - 1)
+            wx_ref[:, pl.ds(i * XC, XC), :] = _lerp_taps(fx, tw).astype(wdt)
+            return carry
+
+        jax.lax.fori_loop(0, W // XC, body, 0)
+
+    # --- y-interpolated table rows, one big-M matmul per head
+    yg = jax.lax.broadcasted_iota(jnp.int32, (1, RT), 1).astype(jnp.float32)
+    yg = (yg + t * RT) / max(H - 1.0, 1.0) * 2.0 - 1.0
+    dy = (yg - py[:, None]) * 0.5  # (Ns, RT)
+    fy = (dy + 1.0) * 0.5 * (th - 1)
+    wy = _lerp_taps(fy, th).astype(wdt).reshape(Ns * RT, th)
+    for h in range(h_g):
+        m1 = jax.lax.dot_general(
+            wy, tbl_ref[0, h].astype(wdt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Ns*RT, tw)
+        m1_ref[h] = m1.astype(wdt).reshape(Ns, RT, tw)
+
+    k = k_ref[0]
+    v = v_ref[0]
+    for h in range(h_g):
+        k_h = k[:, h * hc : (h + 1) * hc]  # (Ns, hc)
+        v_h = v[:, h * hc : (h + 1) * hc]
+
+        # bias[n, r, x] = sum_u m1[h][n, r, u] * wx[n, x, u]
+        bias = jax.lax.dot_general(
+            m1_ref[h], wx_ref[...],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (Ns, RT, W)
+
+        for r in range(RT):
+            q_rh = q_ref[0, r, :, h * hc : (h + 1) * hc]  # (W, hc)
+            s = jax.lax.dot_general(
+                k_h, q_rh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Ns, W)
+            s = s * scale + bias[:, r, :]
+
+            # softmax over Ns (axis 0), fp32
+            s = s - jnp.max(s, axis=0, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=0, keepdims=True)
+
+            out_rh = jax.lax.dot_general(
+                p.astype(v_h.dtype), v_h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (W, hc)
+            o_ref[0, r, :, h * hc : (h + 1) * hc] = out_rh.astype(o_ref.dtype)
+
+
+def _v2_tiles(H: int, W: int, Ns: int, tw: int):
+    """(RT, XC): row-tile height and x-chunk width for the v2 kernel."""
+    # target ~2-4K queries per tile, bounded by the f32 bias temp
+    # (Ns * RT * W * 4B <= ~2.5 MB) and the m1/wx scratch budget
+    rt = max(1, min(H, (2_500_000 // (Ns * W * 4)) or 1))
+    while H % rt:
+        rt -= 1
+    # x-chunk for the tap build: f32 temp Ns * XC * tw * 4B <= ~2 MB
+    xc = max(8, min(W, 2_000_000 // (Ns * max(tw, 1) * 4)))
+    while W % xc:
+        xc -= 1
+    return rt, xc
+
+
+def fused_deform_attention_v2(
+    q: jax.Array,      # (BG, H, W, Cg) grouped queries
+    k: jax.Array,      # (BG, Ns, Cg)
+    v: jax.Array,      # (BG, Ns, Cg)
+    pos: jax.Array,    # (BG, Ns, 2) normalized (y, x) float32
+    table: jax.Array,  # (g, h_g, th, tw)
+    *,
+    n_groups: int,
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    BG, H, W, Cg = q.shape
+    Ns = k.shape[1]
+    g, h_g, th, tw = table.shape
+    hc = Cg // h_g
+    assert BG % n_groups == 0 and g == n_groups
+    RT, XC = _v2_tiles(H, W, Ns, tw)
+    grid = (BG, H // RT)
+
+    out_dtype = q.dtype
+    if not interpret:
+        # bf16 in-kernel regardless of trace dtype: model.init traces with
+        # f32 params, which would double every scratch buffer and blow the
+        # scoped-VMEM budget; production compute is bf16 anyway.
+        q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        table = table.astype(jnp.bfloat16)
+
+    kernel = functools.partial(
+        _kernel_v2, H=H, W=W, RT=RT, XC=XC, h_g=h_g, hc=hc, th=th, tw=tw,
+        scale=scale,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Ns, 2), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RT, W, Cg), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ns, Cg), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ns, Cg), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_g, th, tw), lambda b, t: (b % g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, RT, W, Cg), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BG, H, W, Cg), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Ns, W, tw), q.dtype),
+            pltpu.VMEM((h_g, Ns, RT, tw), q.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # v5e has 128 MB of VMEM; the default 16 MB scoped budget is
+            # what forced v1's 32-lane x-blocks. 64 MB leaves headroom for
+            # double-buffered input blocks.
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BG * H * W * Ns * (2 * hc * h_g + tw * h_g)
+            + 2 * BG * H * Ns * th * tw * h_g,
+            bytes_accessed=q.size * q.dtype.itemsize * 2
+            + (k.size + v.size) * k.dtype.itemsize * (H // RT),
+            transcendentals=BG * H * W * Ns * h_g,
+        ),
+    )(pos.astype(jnp.float32), q, k, v, table).astype(out_dtype)
+
+
 def fused_deform_attention_fwd(
     q: jax.Array,      # (BG, H, W, Cg) grouped queries
     k: jax.Array,      # (BG, Ns, Cg)
@@ -275,25 +461,32 @@ def _xla_reference(q, k, v, pos, table, *, n_groups, scale):
     return out.reshape(BG, H, W, Cg).astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fwd_impl(q, k, v, pos, table, n_groups, scale, interpret, version):
+    fn = fused_deform_attention_v2 if version == 2 else fused_deform_attention_fwd
+    return fn(
+        q, k, v, pos, table, n_groups=n_groups, scale=scale,
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def fused_deform_attention(q, k, v, pos, table, n_groups, scale,
-                           interpret=False):
-    """Fused forward; backward recomputes via the XLA composite."""
-    return fused_deform_attention_fwd(
-        q, k, v, pos, table, n_groups=n_groups, scale=scale,
-        interpret=interpret,
-    )
+                           interpret=False, version=2):
+    """Fused forward; backward recomputes via the XLA composite.
+
+    Only (q, k, v, pos, table) are saved as residuals — far less
+    activation memory than XLA autodiff through the composite, which
+    also keeps the (HW x Ns) attention/bias tensors.
+    """
+    return _fwd_impl(q, k, v, pos, table, n_groups, scale, interpret, version)
 
 
-def _fda_fwd(q, k, v, pos, table, n_groups, scale, interpret):
-    out = fused_deform_attention_fwd(
-        q, k, v, pos, table, n_groups=n_groups, scale=scale,
-        interpret=interpret,
-    )
+def _fda_fwd(q, k, v, pos, table, n_groups, scale, interpret, version):
+    out = _fwd_impl(q, k, v, pos, table, n_groups, scale, interpret, version)
     return out, (q, k, v, pos, table)
 
 
-def _fda_bwd(n_groups, scale, interpret, residuals, grad):
+def _fda_bwd(n_groups, scale, interpret, version, residuals, grad):
     q, k, v, pos, table = residuals
     _, vjp = jax.vjp(
         lambda q_, k_, v_, pos_, tbl_: _xla_reference(

@@ -47,14 +47,42 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device_put a host batch with the batch dim sharded on 'data'."""
+    """Place a host batch with the batch dim sharded on 'data'.
+
+    Single-process: a plain sharded ``device_put``. Multi-host (a mesh
+    spanning processes, built after ``jax.distributed.initialize``): each
+    process passes its PROCESS-LOCAL slice of the global batch (its
+    DataLoader must be built with ``shard_info=(process_index,
+    process_count)``) and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the reference reaches the
+    same state via DistributedSampler + per-rank CUDA tensors
+    (new_train.py:121,197).
+    """
     s = batch_sharding(mesh)
     n = mesh.shape["data"]
+    multihost = any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
+    )
 
     def put(x):
+        if multihost:
+            return jax.make_array_from_process_local_data(s, np.asarray(x))
         assert x.shape[0] % n == 0, (
             f"batch dim {x.shape[0]} not divisible by data axis {n}"
         )
         return jax.device_put(x, s)
 
     return jax.tree.map(put, batch)
+
+
+def process_shard_info() -> tuple:
+    """(process_index, process_count) for DataLoader shard_info — each
+    host loads a disjoint 1/process_count slice of every global batch."""
+    return jax.process_index(), jax.process_count()
+
+
+def local_batch_size(global_batch_size: int) -> int:
+    """Per-process batch size given the configured GLOBAL batch size."""
+    n = jax.process_count()
+    assert global_batch_size % n == 0, (global_batch_size, n)
+    return global_batch_size // n

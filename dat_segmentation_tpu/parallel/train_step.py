@@ -34,8 +34,15 @@ class TrainState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
     def apply_gradients(self, grads, new_batch_stats=None):
+        new_state, _ = self.apply_gradients_with_updates(grads, new_batch_stats)
+        return new_state
+
+    def apply_gradients_with_updates(self, grads, new_batch_stats=None):
+        """Like apply_gradients but also returns the optimizer updates
+        (for update/param-norm observability, reference
+        train_backbone.py:131-135)."""
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
-        return self.replace(
+        new_state = self.replace(
             step=self.step + 1,
             params=optax.apply_updates(self.params, updates),
             opt_state=new_opt,
@@ -43,6 +50,7 @@ class TrainState(struct.PyTreeNode):
                 new_batch_stats if new_batch_stats is not None else self.batch_stats
             ),
         )
+        return new_state, updates
 
 
 def create_train_state(
@@ -143,9 +151,16 @@ def make_train_step(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch, rng)
         grads = _cast(grads, jnp.float32)
-        state = state.apply_gradients(grads, new_stats)
+        param_norm = optax.global_norm(state.params)
+        state, updates = state.apply_gradients_with_updates(grads, new_stats)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
+        # ||update|| / ||param||: the grad-update-ratio scalar the reference
+        # tensorboards (train_backbone.py:131-135), computed on device so
+        # logging it costs one scalar fetch, not a tree D2H.
+        metrics["update_ratio"] = optax.global_norm(updates) / (
+            param_norm + 1e-12
+        )
         return state, metrics
 
     repl = NamedSharding(mesh, P())

@@ -124,9 +124,17 @@ def load_pretrained(path: str, model_cfg, kind: str = "segmentor"):
     return tc.convert_segmentor(sd, model_cfg)
 
 
-def merge_pretrained(init_variables, loaded, *, verbose: bool = True):
+def merge_pretrained(
+    init_variables, loaded, *, verbose: bool = True, return_report: bool = False
+):
     """Tolerant merge: copy loaded leaves onto the init tree where paths
-    match, report missing/unexpected (reference loading.py:29-35)."""
+    match, report missing/unexpected/shape-mismatched keys (reference
+    loading.py:29-35).
+
+    A leaf present in both trees but with a different shape is kept at its
+    init value AND reported as mismatched — silently "loading" a
+    dims-mismatched checkpoint would eval garbage with no warning.
+    """
     from ..utils.torch_convert import report_diff
 
     flat_init = dict(
@@ -134,17 +142,33 @@ def merge_pretrained(init_variables, loaded, *, verbose: bool = True):
     )
     flat_loaded = dict(jax.tree_util.tree_flatten_with_path(loaded)[0])
     merged = dict(flat_init)
+    mismatched = []
     for k, v in flat_loaded.items():
         if k in merged:
-            if merged[k].shape == np.asarray(v).shape:
-                merged[k] = np.asarray(v)
+            v = np.asarray(v)
+            if merged[k].shape == v.shape:
+                merged[k] = v
+            else:
+                mismatched.append(
+                    (jax.tree_util.keystr(k), tuple(merged[k].shape), tuple(v.shape))
+                )
     missing, unexpected = report_diff(init_variables, loaded)
-    if verbose and (missing or unexpected):
+    if verbose and (missing or unexpected or mismatched):
         print(f"[load] missing keys: {len(missing)}")
         for k in missing[:10]:
             print("   ", k)
         print(f"[load] unexpected keys: {len(unexpected)}")
         for k in unexpected[:10]:
             print("   ", k)
+        print(f"[load] shape-mismatched keys (kept at init): {len(mismatched)}")
+        for k, want, got in mismatched[:10]:
+            print(f"    {k}: init {want} vs checkpoint {got}")
     treedef = jax.tree_util.tree_structure(init_variables)
-    return jax.tree_util.tree_unflatten(treedef, list(merged.values()))
+    out = jax.tree_util.tree_unflatten(treedef, list(merged.values()))
+    if return_report:
+        return out, {
+            "missing": missing,
+            "unexpected": unexpected,
+            "mismatched": mismatched,
+        }
+    return out

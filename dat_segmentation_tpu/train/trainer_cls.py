@@ -31,10 +31,9 @@ from ..parallel import (
     make_mesh,
     make_train_step,
 )
-from ..parallel.mesh import shard_batch
+from ..parallel.mesh import local_batch_size, process_shard_info, shard_batch
 from ..utils.logging import MetricLogger, weight_stats
 from .checkpoint import CheckpointManager, load_pretrained, merge_pretrained, save_backbone_only
-from .metrics import topk_accuracy
 from .optim import make_optimizer
 from .trainer_seg import build_schedule
 
@@ -49,10 +48,16 @@ def train_classifier(
     mixup: bool = True,
     steps_per_epoch: Optional[int] = None,
     dataset_cls=ImageNetDataset,
+    stats_interval: int = 100,
 ):
     mesh = mesh or make_mesh(cfg.mesh_shape)
     model = build_model(cfg.model)
     size = cfg.data.crop_size[0]
+    # cfg.data.batch_size is the GLOBAL batch; each process loads a
+    # disjoint 1/process_count slice (reference: DistributedSampler,
+    # imagenet.py:99-100)
+    shard = process_shard_info()
+    local_bs = local_batch_size(cfg.data.batch_size)
     sample = jnp.zeros((cfg.data.batch_size, size, size, 3))
 
     state = create_train_state(
@@ -118,8 +123,9 @@ def train_classifier(
     start_epoch = int(state.step) // spe
     for epoch in range(start_epoch, n_epochs):
         loader = DataLoader(
-            train_ds, cfg.data.batch_size, shuffle=True, drop_last=True,
+            train_ds, local_bs, shuffle=True, drop_last=True,
             num_threads=cfg.data.num_workers, seed=cfg.seed + epoch,
+            shard_info=shard,
         )
         t0, seen = time.time(), 0
         for bi, batch in enumerate(
@@ -135,24 +141,63 @@ def train_classifier(
                     f"acc={float(metrics['acc1'])*100:.2f} "
                     f"{seen/(time.time()-t0):.1f} img/s"
                 )
-            if (bi + 1) % 100 == 0:
-                stats = weight_stats(
-                    {"stem": jax.device_get(state.params).get("backbone", {})}
+            if (bi + 1) % stats_interval == 0:
+                # per-parameter weight mean/std/L2 + grad/update scalars at
+                # the reference's TB cadence (train_backbone.py:73-83,131-135)
+                stats = weight_stats(jax.device_get(state.params))
+                flat = {
+                    f"w/{name}/{key}": val
+                    for name, s in stats.items()
+                    for key, val in s.items()
+                }
+                logger.scalars(
+                    int(state.step),
+                    loss=float(metrics["loss"]),
+                    grad_norm=float(metrics["grad_norm"]),
+                    update_ratio=float(metrics["update_ratio"]),
+                    **flat,
                 )
-                logger.scalars(int(state.step), loss=float(metrics["loss"]))
         history["train_loss"].append(float(metrics["loss"]))
 
         # ---- validation (top-1/5; train_backbone.py:145-170) -----------
-        val_loader = DataLoader(val_ds, cfg.data.batch_size, drop_last=True)
+        # Every val image counts: the tail batch is padded up to the
+        # static batch size and the padding masked out of the metrics
+        # (drop_last would silently skip up to batch_size-1 images).
+        val_loader = DataLoader(
+            val_ds, local_bs, drop_last=False, shard_info=shard,
+        )
         hits1 = hits5 = total = 0
         for batch in val_loader:
+            n = int(batch["label"].shape[0])
+            if n < local_bs:
+                pad = local_bs - n
+                batch = {
+                    "image": np.concatenate(
+                        [batch["image"],
+                         np.zeros((pad, *batch["image"].shape[1:]),
+                                  batch["image"].dtype)]
+                    ),
+                    "label": np.concatenate(
+                        [batch["label"],
+                         np.zeros((pad,), batch["label"].dtype)]
+                    ),
+                }
             sb = shard_batch(mesh, batch)
             logits = eval_fn(state.params, state.batch_stats, sb["image"])
-            accs = topk_accuracy(logits, jnp.asarray(batch["label"]), (1, 5))
-            n = batch["label"].shape[0]
-            hits1 += float(accs[1]) * n
-            hits5 += float(accs[5]) * n
+            lg = np.asarray(jax.device_get(logits))[:n]
+            lab = np.asarray(batch["label"])[:n]
+            k5 = min(5, lg.shape[-1] - 1)
+            top5 = np.argpartition(-lg, k5, axis=-1)[:, :5]
+            hits1 += int((np.argmax(lg, axis=-1) == lab).sum())
+            hits5 += int((top5 == lab[:, None]).any(axis=-1).sum())
             total += n
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            sums = multihost_utils.process_allgather(
+                jnp.array([hits1, hits5, total])
+            )
+            hits1, hits5, total = (int(v) for v in np.asarray(sums).sum(0))
         acc1 = hits1 / max(total, 1)
         acc5 = hits5 / max(total, 1)
         history["val_acc1"].append(acc1)

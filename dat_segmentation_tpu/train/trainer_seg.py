@@ -31,12 +31,40 @@ from ..parallel import (
     make_mesh,
     make_train_step,
 )
-from ..parallel.mesh import shard_batch
+from ..parallel.mesh import local_batch_size, process_shard_info, shard_batch
 from ..utils.logging import MetricLogger
 from .checkpoint import CheckpointManager, load_pretrained, merge_pretrained
 from .metrics import StreamingIoU
 from .optim import make_optimizer
 from .schedules import warmup_cosine_schedule, warmup_poly_schedule
+
+
+def _git_hash() -> Optional[str]:
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True, timeout=5, cwd=Path(__file__).parent,
+            )
+            .stdout.decode()
+            .strip()
+            or None
+        )
+    except Exception:
+        return None
+
+
+def _dataset_meta(ds) -> dict:
+    """CLASSES/PALETTE/git-hash checkpoint meta, like the reference's
+    mmseg checkpoint_config meta (tools/train.py:222-233)."""
+    meta = {"git": _git_hash()}
+    for key in ("CLASSES", "PALETTE"):
+        val = getattr(ds, key, None)
+        if val is not None:
+            meta[key] = [list(v) if isinstance(v, tuple) else v for v in val]
+    return meta
 
 
 def build_schedule(cfg: TrainConfig):
@@ -102,6 +130,7 @@ def train_segmentation(
     mesh=None,
     eval_max_images: Optional[int] = None,
     dataset_cls=ADE20KDataset,
+    eval_batch_size: int = 1,
 ):
     """Run the 160k-style iteration loop. Returns (state, history dict)."""
     mesh = mesh or make_mesh(cfg.mesh_shape)
@@ -125,10 +154,13 @@ def train_segmentation(
         crop_size=crop, ignore_index=cfg.data.ignore_index, seed=cfg.seed,
     )
     val_ds = dataset_cls(cfg.data.data_root, "val", crop_size=crop)
+    # cfg.data.batch_size is GLOBAL; each process loads its disjoint slice
+    # (reference: DistributedSampler, new_train.py:121)
     loader = DataLoader(
-        train_ds, cfg.data.batch_size,
+        train_ds, local_batch_size(cfg.data.batch_size),
         shuffle=True, drop_last=True, infinite=True,
         num_threads=cfg.data.num_workers, seed=cfg.seed,
+        shard_info=process_shard_info(),
     )
     batches = device_prefetch(iter(loader), lambda b: shard_batch(mesh, {
         "image": b["image"], "label": b["label"],
@@ -152,15 +184,26 @@ def train_segmentation(
     history = {"loss": [], "val_miou": []}
     t0 = time.time()
     it = int(state.step)
+    # IoU counters accumulate ON DEVICE (async jnp adds); the host only
+    # fetches them at log_interval — a per-step np.asarray would block on
+    # a D2H transfer every iteration (reference's loop is equally
+    # non-blocking, new_train.py:210-216).
+    acc_inter = acc_union = None
     for batch in batches:
         if it >= total:
             break
         state, metrics = step_fn(state, batch, rng)
         it += 1
-        train_iou.inter += np.asarray(metrics["inter"], np.int64)
-        train_iou.union += np.asarray(metrics["union"], np.int64)
+        if acc_inter is None:
+            acc_inter, acc_union = metrics["inter"], metrics["union"]
+        else:
+            acc_inter = acc_inter + metrics["inter"]
+            acc_union = acc_union + metrics["union"]
 
         if it % cfg.log_interval == 0:
+            train_iou.inter += np.asarray(acc_inter, np.int64)
+            train_iou.union += np.asarray(acc_union, np.int64)
+            acc_inter = acc_union = None
             loss = float(metrics["loss"])
             lr = float(schedule(it))
             ips = cfg.data.batch_size * cfg.log_interval / (time.time() - t0)
@@ -181,7 +224,10 @@ def train_segmentation(
                     "opt_state": jax.device_get(state.opt_state),
                     "batch_stats": jax.device_get(state.batch_stats),
                 },
-                metadata={"iter": it, "config": dataclasses.asdict(cfg)},
+                metadata=dict(
+                    {"iter": it, "config": dataclasses.asdict(cfg)},
+                    **_dataset_meta(train_ds),
+                ),
             )
 
         if it % cfg.eval_interval == 0 or it == total:
@@ -198,6 +244,9 @@ def train_segmentation(
                 inf, val_ds,
                 num_classes=cfg.model.num_classes,
                 max_images=eval_max_images,
+                shard_info=process_shard_info(),
+                batch_size=eval_batch_size,
+                distributed=jax.process_count() > 1,
                 verbose=False,
             )
             miou = res["mIoU"]
@@ -209,6 +258,9 @@ def train_segmentation(
                     "best",
                     {"params": jax.device_get(state.params),
                      "batch_stats": jax.device_get(state.batch_stats)},
-                    metadata={"iter": it, "mIoU": miou},
+                    metadata=dict(
+                        {"iter": it, "mIoU": miou},
+                        **_dataset_meta(train_ds),
+                    ),
                 )
     return state, history

@@ -23,6 +23,7 @@ def _inputs(B=2, g=2, h_g=2, hc=16, H=16, W=8, Ns=16, th=15, tw=15, seed=0):
     return map(jnp.asarray, (q, k, v, pos, table))
 
 
+@pytest.mark.parametrize("version", [1, 2])
 @pytest.mark.parametrize(
     "shape",
     [
@@ -32,12 +33,12 @@ def _inputs(B=2, g=2, h_g=2, hc=16, H=16, W=8, Ns=16, th=15, tw=15, seed=0):
         dict(th=21, tw=9),  # asymmetric table
     ],
 )
-def test_fused_kernel_matches_xla(shape):
+def test_fused_kernel_matches_xla(shape, version):
     q, k, v, pos, table = _inputs(**shape)
     g = table.shape[0]
     scale = (q.shape[-1] // table.shape[1]) ** -0.5
     ref = _xla_reference(q, k, v, pos, table, n_groups=g, scale=scale)
-    got = fused_deform_attention(q, k, v, pos, table, g, scale, True)
+    got = fused_deform_attention(q, k, v, pos, table, g, scale, True, version)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
     )

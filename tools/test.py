@@ -36,6 +36,12 @@ def parse_args():
                         "the ADE20K convention; mmseg --format-only analog)")
     p.add_argument("--shard", default=None, metavar="RANK/WORLD",
                    help="evaluate a shard (merge with merge_shard_results)")
+    p.add_argument("--batch-size", type=int, default=4,
+                   help="bucket-batched whole-mode eval batch (1 = per-image)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host run: shard by jax process and psum "
+                        "counters in-run (reference multi_gpu_test, "
+                        "tools/test.py:290-298)")
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
                    help="dotted config overrides (must match the checkpoint)")
     return p.parse_args()
@@ -91,6 +97,8 @@ def main():
     if args.shard:
         rank, world = map(int, args.shard.split("/"))
         shard_info = (rank, world)
+    elif args.distributed:
+        shard_info = (jax.process_index(), jax.process_count())
     res = evaluate_dataset(
         inferencer,
         ds,
@@ -99,6 +107,8 @@ def main():
         aug_test=args.aug_test,
         max_images=args.max_images,
         shard_info=shard_info,
+        batch_size=args.batch_size,
+        distributed=args.distributed,
     )
     print(f"mIoU: {res['mIoU']*100:.2f}  aAcc: {res['aAcc']*100:.2f}")
     if args.out:
@@ -125,15 +135,22 @@ def main():
         import numpy as np
         import cv2
 
-        from dat_segmentation_tpu.data.ade20k import ADE20K_NUM_CLASSES
+        from dat_segmentation_tpu.data.ade20k import (
+            ADE20K_NUM_CLASSES,
+            ADE20K_PALETTE,
+        )
 
         out_dir = Path(args.show_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
-        palette = (
-            np.random.RandomState(42)
-            .randint(0, 255, (cfg.model.num_classes, 3))
-            .astype(np.uint8)
-        )
+        if cfg.model.num_classes == ADE20K_NUM_CLASSES:
+            # canonical 150-color palette (reference tools/test.py:229-233)
+            palette = np.asarray(ADE20K_PALETTE, np.uint8)
+        else:
+            palette = (
+                np.random.RandomState(42)
+                .randint(0, 255, (cfg.model.num_classes, 3))
+                .astype(np.uint8)
+            )
         n = min(args.max_images or len(ds), len(ds))
         for i in range(n):
             raw, gt = ds.load_raw(i)

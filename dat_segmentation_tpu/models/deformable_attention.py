@@ -151,13 +151,12 @@ class DeformableAttention(nn.Module):
         k = dense(sampled, C, name="proj_k")
         v = dense(sampled, C, name="proj_v")
 
-        # 'auto': the fused kernel wins at small spatial sizes (measured
-        # on v5e: faster for W<=32 stages, slower at stage-0 128x128 where
-        # Mosaic's VMEM stack caps the x-block at 32 lanes)
+        # 'auto': the v2 fused kernel (full-row x-blocks, 64MB VMEM
+        # budget) beats the XLA composite at every DAT-T++ stage on v5e
+        # (2.35x at stage-0 128x128), so on TPU it is used unconditionally.
         impl = self.kernel_impl
         if impl == "auto":
-            on_tpu = jax.default_backend() == "tpu"
-            impl = "pallas" if (on_tpu and min(H, W) <= 48) else "xla"
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         use_pallas = (
             impl == "pallas"
             and self.use_pe

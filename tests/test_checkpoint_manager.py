@@ -86,3 +86,23 @@ def test_merge_pretrained_tolerant():
     np.testing.assert_allclose(merged["params"]["a"], 1.0)
     np.testing.assert_allclose(merged["params"]["b"], 0.0)
     np.testing.assert_allclose(merged["params"]["c"], 0.0)
+
+
+def test_merge_pretrained_reports_shape_mismatch(capsys):
+    """A both-trees key with the wrong shape must be REPORTED, not
+    silently kept at init (the reference reports via strict=False load
+    logging, loading.py:29-35)."""
+    init = {"params": {"a": np.zeros((2, 2), np.float32),
+                       "b": np.zeros((3,), np.float32)}}
+    loaded = {"params": {"a": np.ones((2, 2), np.float32),
+                         "b": np.ones((5,), np.float32)}}
+    merged, report = merge_pretrained(
+        init, loaded, verbose=True, return_report=True
+    )
+    assert len(report["mismatched"]) == 1
+    key, want, got = report["mismatched"][0]
+    assert "b" in key and want == (3,) and got == (5,)
+    assert not report["missing"] and not report["unexpected"]
+    out = capsys.readouterr().out
+    assert "shape-mismatched" in out and "(3,)" in out and "(5,)" in out
+    np.testing.assert_allclose(merged["params"]["b"], 0.0)

@@ -129,6 +129,59 @@ def test_evaluate_dataset_and_shard_merge(tmp_path, tiny_inferencer):
     assert merged["mIoU"] == pytest.approx(full["mIoU"], abs=1e-12)
 
 
+def test_batched_eval_matches_per_image(tmp_path, tiny_inferencer):
+    """Bucket-batched eval (batch_size>1) matches the per-image loop.
+
+    Semantics are identical (same padded forward, per-image slicing); the
+    batch dim reassociates conv float accumulation, so a handful of
+    near-tie argmax pixels may flip — counters agree to <1% and mIoU to
+    a few 1e-3."""
+    root = _make_val_layout(tmp_path, n=6)
+    ds = ADE20KDataset(root, "val")
+    ref = evaluate_dataset(
+        tiny_inferencer, ds, num_classes=20, img_scale=(128, 64),
+        batch_size=1, verbose=False,
+    )
+    got = evaluate_dataset(
+        tiny_inferencer, ds, num_classes=20, img_scale=(128, 64),
+        batch_size=4, verbose=False,
+    )
+    assert got["num_images"] == ref["num_images"] == 6
+    np.testing.assert_allclose(got["inter"], ref["inter"], rtol=0.01)
+    np.testing.assert_allclose(got["union"], ref["union"], rtol=0.01)
+    assert got["mIoU"] == pytest.approx(ref["mIoU"], abs=5e-3)
+
+
+def test_batched_eval_matches_per_image_tta(tmp_path, tiny_inferencer):
+    """Batched eval with multi-scale + flip TTA == per-image TTA."""
+    root = _make_val_layout(tmp_path, n=3)
+    ds = ADE20KDataset(root, "val")
+    kw = dict(
+        num_classes=20, img_scale=(128, 64), aug_test=True, verbose=False,
+    )
+    ref = evaluate_dataset(tiny_inferencer, ds, batch_size=1, **kw)
+    got = evaluate_dataset(tiny_inferencer, ds, batch_size=2, **kw)
+    np.testing.assert_allclose(got["inter"], ref["inter"], rtol=0.01)
+    np.testing.assert_allclose(got["union"], ref["union"], rtol=0.01)
+    assert got["mIoU"] == pytest.approx(ref["mIoU"], abs=5e-3)
+
+
+def test_distributed_reduction_single_process(tmp_path, tiny_inferencer):
+    """distributed=True is a no-op reduction on a single process."""
+    root = _make_val_layout(tmp_path, n=2)
+    ds = ADE20KDataset(root, "val")
+    ref = evaluate_dataset(
+        tiny_inferencer, ds, num_classes=20, img_scale=(128, 64),
+        verbose=False,
+    )
+    got = evaluate_dataset(
+        tiny_inferencer, ds, num_classes=20, img_scale=(128, 64),
+        distributed=True, verbose=False,
+    )
+    assert got["mIoU"] == pytest.approx(ref["mIoU"], abs=1e-12)
+    assert got["num_images"] == ref["num_images"]
+
+
 def test_stride4_host_upsample_matches_device_path(tiny_inferencer):
     """The inferencer's stride-4 + host-resize logits must match running
     the model with its own device upsample (the resize is linear)."""

@@ -146,3 +146,29 @@ def test_eval_step_sharded():
     img = shard_batch(mesh, {"image": jnp.zeros((8, 64, 64, 3))})["image"]
     logits = fwd(state.params, state.batch_stats, img)
     assert logits.shape == (8, 64, 64, 150)
+
+
+def test_shard_batch_produces_global_sharded_array():
+    """shard_batch on the 8-device mesh: global shape preserved, batch dim
+    split across 'data'; process helpers give sane single-process values."""
+    from dat_segmentation_tpu.parallel.mesh import (
+        local_batch_size,
+        process_shard_info,
+    )
+
+    mesh = make_mesh({"data": 8})
+    batch = {
+        "image": np.arange(8 * 4 * 4 * 3, dtype=np.float32).reshape(8, 4, 4, 3),
+        "label": np.arange(8, dtype=np.int32),
+    }
+    sharded = shard_batch(mesh, batch)
+    assert sharded["image"].shape == (8, 4, 4, 3)
+    assert sharded["label"].shape == (8,)
+    # each device holds exactly one batch row
+    shards = sharded["image"].addressable_shards
+    assert len(shards) == 8
+    assert all(s.data.shape == (1, 4, 4, 3) for s in shards)
+    np.testing.assert_allclose(np.asarray(sharded["image"]), batch["image"])
+
+    assert process_shard_info() == (0, 1)
+    assert local_batch_size(16) == 16

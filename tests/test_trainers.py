@@ -160,13 +160,69 @@ def test_train_classifier_loop(tmp_path):
         },
     )
     state, history = train_classifier(
-        cfg, epochs=2, steps_per_epoch=2, mixup=True
+        cfg, epochs=2, steps_per_epoch=2, mixup=True, stats_interval=2
     )
     assert int(state.step) == 4
     assert len(history["val_acc1"]) == 2
     work = Path(cfg.work_dir) / "cls_smoke"
     assert (work / "ckpt_best").exists()
     assert (work / "backbone_best").exists()
+
+    # observability: per-param weight stats + grad/update scalars landed in
+    # the JSONL at the stats cadence (reference TB logging,
+    # train_backbone.py:73-83,131-135)
+    import json
+
+    scalars_path = work / "train.scalars.jsonl"
+    assert scalars_path.exists()
+    rec = json.loads(scalars_path.read_text().splitlines()[0])
+    assert "update_ratio" in rec and "grad_norm" in rec
+    assert any(k.startswith("w/") and k.endswith("/l2") for k in rec)
+    assert any(k.startswith("w/") and k.endswith("/mean") for k in rec)
+
+
+def test_classifier_val_counts_every_image(tmp_path):
+    """9 val images with batch 4: the 1-image tail batch must be padded
+    and masked, not dropped (reference validates the full set,
+    train_backbone.py:145-170)."""
+    from dat_segmentation_tpu.train import trainer_cls
+
+    root = _cls_data(tmp_path / "data")  # 3 classes x 3 imgs per split
+    cfg = _tiny_bb(get_config("cls_tiny_imagenet"))
+    cfg = cfg_replace(
+        cfg,
+        **{
+            "model.decode_head": dataclasses.replace(
+                cfg.model.decode_head, num_classes=3
+            ),
+            "model.num_classes": 3,
+            "data.data_root": str(root),
+            "data.batch_size": 4,
+            "data.crop_size": (64, 64),
+            "data.num_workers": 2,
+            "schedule.warmup_iters": 1,
+            "log_interval": 10,
+            "work_dir": str(tmp_path / "work"),
+            "dtype": "float32",
+            "name": "cls_tail",
+            "mesh_shape": {"data": 4},
+        },
+    )
+    seen = {}
+    orig_topk = np.argpartition
+
+    def spy_argpartition(a, kth, **kw):
+        seen["rows"] = seen.get("rows", 0) + a.shape[0]
+        return orig_topk(a, kth, **kw)
+
+    np.argpartition = spy_argpartition
+    try:
+        trainer_cls.train_classifier(cfg, epochs=1, steps_per_epoch=1,
+                                     mixup=False)
+    finally:
+        np.argpartition = orig_topk
+    # all 9 val images scored (3 batches of 4 padded, masked to 4+4+1)
+    assert seen["rows"] == 9
 
 
 def test_mixup_cutmix_properties():

@@ -104,6 +104,56 @@ def bench_train(batch: int = 2, config: str = "upn_tiny_160k_dp03_lr6",
     print(f"# step={dt*1e3:.1f}ms loss={float(m['loss']):.3f}", file=sys.stderr)
 
 
+def bench_cls(batch: int = 64, config: str = "cls_tiny_imagenet"):
+    """DAT-T++ classifier 224x224 bf16 forward throughput (the ImageNet
+    pretraining shape, reference train_backbone.py)."""
+    import numpy as np
+
+    from dat_segmentation_tpu.configs import get_config
+    from dat_segmentation_tpu.models import build_model
+
+    cfg = get_config(config)
+    model = build_model(cfg.model)
+    x = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables = jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16)
+        if jnp.issubdtype(v.dtype, jnp.floating)
+        else v,
+        variables,
+    )
+
+    @jax.jit
+    def fwd(image):
+        return model.apply(variables, image, train=False)
+
+    compiled = fwd.lower(x).compile()
+    cost = compiled.cost_analysis()
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    for _ in range(3):
+        _fetch(fwd(x))
+    iters = 20
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fwd(x)
+    _fetch(out)
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    achieved = flops * iters / dt if flops else 0.0
+    print(json.dumps({
+        "metric": "cls_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": f"img/s ({config} 224x224 bf16 fwd, batch {batch})",
+        "vs_baseline": round(achieved / V5E_PEAK_FLOPS, 4),
+    }))
+    print(
+        f"# flops/img={flops/batch/1e9:.1f}G achieved={achieved/1e12:.1f}TF/s "
+        f"step={dt/iters*1e3:.1f}ms",
+        file=sys.stderr,
+    )
+
+
 def main():
     from dat_segmentation_tpu.configs import get_config
     from dat_segmentation_tpu.models import build_model
@@ -169,11 +219,15 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--train", action="store_true",
                     help="benchmark the full train step instead")
+    ap.add_argument("--cls", action="store_true",
+                    help="benchmark the 224x224 classifier forward instead")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
     if args.train:
         bench_train(batch=args.batch or 2, remat=args.remat)
+    elif args.cls:
+        bench_cls(batch=args.batch or 64)
     else:
         if args.batch:
             BATCH = args.batch

@@ -39,9 +39,9 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=4,
                    help="bucket-batched whole-mode eval batch (1 = per-image)")
     p.add_argument("--distributed", action="store_true",
-                   help="multi-host run: shard by jax process and psum "
-                        "counters in-run (reference multi_gpu_test, "
-                        "tools/test.py:290-298)")
+                   help="multi-host run: jax.distributed.initialize(), "
+                        "shard by process, reduce counters in-run "
+                        "(reference multi_gpu_test, tools/test.py:290-298)")
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
                    help="dotted config overrides (must match the checkpoint)")
     return p.parse_args()
@@ -49,6 +49,10 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.distributed:
+        import jax as _jax
+
+        _jax.distributed.initialize()
     from tools.train import apply_overrides, load_config
 
     import jax.numpy as jnp

@@ -36,6 +36,8 @@ def parse_args():
     p.add_argument("--no-mixup", action="store_true")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (one process/host)")
+    p.add_argument("--eval-batch-size", type=int, default=1,
+                   help="bucket-batched in-training val (seg only)")
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
                    help="dotted config overrides")
     return p.parse_args()
@@ -101,6 +103,7 @@ def main():
             pretrained=args.pretrained,
             resume=args.resume,
             max_iters=args.max_iters,
+            eval_batch_size=args.eval_batch_size,
         )
 
 

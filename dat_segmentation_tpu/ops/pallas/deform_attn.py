@@ -419,6 +419,327 @@ def fused_deform_attention_fwd(
     )(pos.astype(jnp.float32), q, k, v, table)
 
 
+def _bwd_tiles(H: int, W: int, Ns: int, tw: int):
+    """(RT, XC) for the backward kernel: same sizing rule as the forward
+    but RT capped at 16 — the bwd body holds ~2x the matmuls per row, so
+    smaller tiles keep Mosaic compile time and f32 temporaries bounded."""
+    rt, xc = _v2_tiles(H, W, Ns, tw)
+    rt = min(rt, 16)
+    while H % rt:
+        rt -= 1
+    return rt, xc
+
+
+def _kernel_v2_bwd(
+    pos_ref,    # (1, Ns, 2) f32, (y, x) normalized
+    q_ref,      # (1, RT, W, Cg)
+    k_ref,      # (1, Ns, Cg)
+    v_ref,      # (1, Ns, Cg)
+    tbl_ref,    # (1, h_g, th, tw)
+    do_ref,     # (1, RT, W, Cg) output cotangent
+    dq_ref,     # (1, RT, W, Cg) out
+    dk_ref,     # (1, Ns, Cg) f32 out, accumulated over row tiles
+    dv_ref,     # (1, Ns, Cg) f32 out, accumulated over row tiles
+    dpos_ref,   # (1, 2, Ns) f32 out (y, x rows), accumulated
+    dtbl_ref,   # (1, h_g, th, tw) f32 out, accumulated (per-bg slice;
+                #   summed over the batch outside the kernel)
+    wx_ref,     # VMEM scratch (Ns, W, tw): x tap weights (per bg)
+    m1_ref,     # VMEM scratch (h_g, Ns, RT, tw): row-interpolated table
+    ds_ref,     # VMEM scratch (Ns, RT, W) f32: attention-logit grads
+    *,
+    H: int,
+    W: int,
+    RT: int,
+    XC: int,
+    h_g: int,
+    hc: int,
+    th: int,
+    tw: int,
+    scale: float,
+):
+    """Fused backward: recomputes p tile-by-tile in VMEM (same math as
+    the forward kernel) and emits all five input gradients without ever
+    materializing the (HW x Ns) attention/bias tensors in HBM — the XLA
+    recompute backward it replaces was paying that full HBM round-trip.
+    """
+    Ns = pos_ref.shape[1]
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    wdt = q_ref.dtype
+
+    py = pos_ref[0, :, 0]  # (Ns,)
+    px = pos_ref[0, :, 1]
+
+    @pl.when(t == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
+        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+        dpos_ref[...] = jnp.zeros(dpos_ref.shape, dpos_ref.dtype)
+        dtbl_ref[...] = jnp.zeros(dtbl_ref.shape, dtbl_ref.dtype)
+
+        def body(i, carry):
+            xg = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, XC), 1) + i * XC
+            ).astype(jnp.float32)
+            xg = xg / max(W - 1.0, 1.0) * 2.0 - 1.0
+            dx = (xg - px[:, None]) * 0.5
+            fx = (dx + 1.0) * 0.5 * (tw - 1)
+            wx_ref[:, pl.ds(i * XC, XC), :] = _lerp_taps(fx, tw).astype(wdt)
+            return carry
+
+        jax.lax.fori_loop(0, W // XC, body, 0)
+
+    # --- recompute fy / wy / m1 for this row tile (as in the forward)
+    yg = jax.lax.broadcasted_iota(jnp.int32, (1, RT), 1).astype(jnp.float32)
+    yg = (yg + t * RT) / max(H - 1.0, 1.0) * 2.0 - 1.0
+    dy = (yg - py[:, None]) * 0.5  # (Ns, RT)
+    fy = (dy + 1.0) * 0.5 * (th - 1)
+    wy = _lerp_taps(fy, th).astype(wdt)  # (Ns, RT, th)
+    wy2 = wy.reshape(Ns * RT, th)
+    for h in range(h_g):
+        m1 = jax.lax.dot_general(
+            wy2, tbl_ref[0, h].astype(wdt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m1_ref[h] = m1.astype(wdt).reshape(Ns, RT, tw)
+
+    # d(lerp taps)/d(coord): -1 at tap floor(f), +1 at floor(f)+1 (the
+    # same subgradient lerp_weight_matrix's autodiff produces); OOB taps
+    # contribute zero because the one-hots never match.
+    i0y = jnp.floor(fy).astype(jnp.int32)[..., None]
+    tapsy = jax.lax.broadcasted_iota(jnp.int32, (Ns, RT, th), 2)
+    dtapy = (
+        jnp.where(tapsy == i0y + 1, 1.0, 0.0)
+        - jnp.where(tapsy == i0y, 1.0, 0.0)
+    ).astype(wdt)
+    dtapy2 = dtapy.reshape(Ns * RT, th)
+
+    k = k_ref[0]
+    v = v_ref[0]
+    dpy_acc = jnp.zeros((1, Ns), jnp.float32)
+    dpx_acc = jnp.zeros((1, Ns), jnp.float32)
+    for h in range(h_g):
+        k_h = k[:, h * hc : (h + 1) * hc]  # (Ns, hc)
+        v_h = v[:, h * hc : (h + 1) * hc]
+        tbl_h = tbl_ref[0, h].astype(wdt)  # (th, tw)
+
+        bias = jax.lax.dot_general(
+            m1_ref[h], wx_ref[...],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (Ns, RT, W)
+
+        dk_h = jnp.zeros((Ns, hc), jnp.float32)
+        dv_h = jnp.zeros((Ns, hc), jnp.float32)
+        for r in range(RT):
+            q_rh = q_ref[0, r, :, h * hc : (h + 1) * hc]   # (W, hc)
+            do_rh = do_ref[0, r, :, h * hc : (h + 1) * hc]  # (W, hc)
+
+            # recompute p (exactly the forward's math, f32)
+            s = jax.lax.dot_general(
+                k_h, q_rh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Ns, W)
+            s = s * scale + bias[:, r, :]
+            s = s - jnp.max(s, axis=0, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=0, keepdims=True)
+            p_lo = p.astype(wdt)
+
+            # dv_h[n, c] += sum_x p[n, x] do[x, c]
+            dv_h = dv_h + jax.lax.dot_general(
+                p_lo, do_rh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dp[n, x] = sum_c v[n, c] do[x, c]
+            dp = jax.lax.dot_general(
+                v_h, do_rh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Ns, W)
+            # softmax backward over Ns (axis 0)
+            ds = p * (dp - jnp.sum(p * dp, axis=0, keepdims=True))
+            ds_lo = ds.astype(wdt)
+            ds_ref[:, r, :] = ds
+
+            # dq[x, c] = scale * sum_n ds[n, x] k[n, c]
+            dq_rh = jax.lax.dot_general(
+                ds_lo, k_h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (W, hc)
+            dq_ref[0, r, :, h * hc : (h + 1) * hc] = (dq_rh * scale).astype(
+                dq_ref.dtype
+            )
+            # dk_h[n, c] += scale * sum_x ds[n, x] q[x, c]
+            dk_h = dk_h + scale * jax.lax.dot_general(
+                ds_lo, q_rh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        dk_ref[0, :, h * hc : (h + 1) * hc] += dk_h
+        dv_ref[0, :, h * hc : (h + 1) * hc] += dv_h
+
+        # --- bias-path gradients (dbias == ds, accumulated in ds_ref)
+        ds_all = ds_ref[...].astype(wdt)  # (Ns, RT, W)
+        # dm1[n, r, u] = sum_x ds[n, r, x] wx[n, x, u]
+        dm1 = jax.lax.dot_general(
+            ds_all, wx_ref[...],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (Ns, RT, tw)
+        dm1_2 = dm1.astype(wdt).reshape(Ns * RT, tw)
+
+        # dtable[t, u] += sum_{n, r} wy[n, r, t] dm1[n, r, u]
+        dtbl_ref[0, h] += jax.lax.dot_general(
+            wy2, dm1_2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # dpy: dfy[n, r] = sum_u dm1[n, r, u] * (sum_t dtapy[n, r, t] T[t, u])
+        g1 = jax.lax.dot_general(
+            dtapy2, tbl_h,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Ns*RT, tw)
+        dfy = (dm1_2.astype(jnp.float32) * g1).reshape(Ns, RT, tw)
+        dpy_acc = dpy_acc + jnp.sum(dfy, axis=(1, 2))[None, :]
+
+        # dpx: chunked over x — dwx[n, x, u] = sum_r ds[n, r, x] m1[n, r, u]
+        m1_h = m1_ref[h]
+
+        def xbody(i, acc):
+            ds_c = ds_ref[:, :, pl.ds(i * XC, XC)].astype(wdt)  # (Ns, RT, XC)
+            dwx_c = jax.lax.dot_general(
+                ds_c, m1_h,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (Ns, XC, tw)
+            xg = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, XC), 1) + i * XC
+            ).astype(jnp.float32)
+            xg = xg / max(W - 1.0, 1.0) * 2.0 - 1.0
+            fx = ((xg - px[:, None]) * 0.5 + 1.0) * 0.5 * (tw - 1)
+            i0x = jnp.floor(fx).astype(jnp.int32)[..., None]
+            tapsx = jax.lax.broadcasted_iota(jnp.int32, (Ns, XC, tw), 2)
+            dtapx = jnp.where(tapsx == i0x + 1, 1.0, 0.0) - jnp.where(
+                tapsx == i0x, 1.0, 0.0
+            )
+            return acc + jnp.sum(dwx_c * dtapx, axis=(1, 2))[None, :]
+
+        dpx_acc = dpx_acc + jax.lax.fori_loop(
+            0, W // XC, xbody, jnp.zeros((1, Ns), jnp.float32)
+        )
+
+    # chain rule through fy = ((yg - py) * 0.5 + 1) * 0.5 * (th - 1)
+    dpos_ref[0] += jnp.concatenate(
+        [dpy_acc * (-0.25 * (th - 1)), dpx_acc * (-0.25 * (tw - 1))], axis=0
+    )
+
+
+def fused_deform_attention_bwd_v2(
+    q: jax.Array,      # (BG, H, W, Cg)
+    k: jax.Array,      # (BG, Ns, Cg)
+    v: jax.Array,      # (BG, Ns, Cg)
+    pos: jax.Array,    # (BG, Ns, 2) normalized (y, x) float32
+    table: jax.Array,  # (g, h_g, th, tw)
+    dout: jax.Array,   # (BG, H, W, Cg)
+    *,
+    n_groups: int,
+    scale: float,
+    interpret: bool = False,
+):
+    """Fused-backward pass; returns (dq, dk, dv, dpos, dtable)."""
+    BG, H, W, Cg = q.shape
+    Ns = k.shape[1]
+    g, h_g, th, tw = table.shape
+    hc = Cg // h_g
+    assert BG % n_groups == 0 and g == n_groups
+    RT, XC = _bwd_tiles(H, W, Ns, tw)
+    grid = (BG, H // RT)
+
+    in_dtypes = (q.dtype, k.dtype, v.dtype, pos.dtype, table.dtype)
+    if not interpret:
+        q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        table = table.astype(jnp.bfloat16)
+        dout = dout.astype(jnp.bfloat16)
+    kdt = q.dtype
+
+    kernel = functools.partial(
+        _kernel_v2_bwd, H=H, W=W, RT=RT, XC=XC, h_g=h_g, hc=hc, th=th,
+        tw=tw, scale=scale,
+    )
+    dq, dk, dv, dpos_t, dtbl_b = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Ns, 2), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RT, W, Cg), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ns, Cg), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ns, Cg), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_g, th, tw), lambda b, t: (b % g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RT, W, Cg), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RT, W, Cg), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ns, Cg), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ns, Cg), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, Ns), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_g, th, tw), lambda b, t: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BG, H, W, Cg), kdt),
+            jax.ShapeDtypeStruct((BG, Ns, Cg), jnp.float32),
+            jax.ShapeDtypeStruct((BG, Ns, Cg), jnp.float32),
+            jax.ShapeDtypeStruct((BG, 2, Ns), jnp.float32),
+            jax.ShapeDtypeStruct((BG, h_g, th, tw), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Ns, W, tw), kdt),
+            pltpu.VMEM((h_g, Ns, RT, tw), kdt),
+            pltpu.VMEM((Ns, RT, W), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * BG * H * W * Ns * (2 * hc * h_g + tw * h_g)
+            + 6 * BG * H * Ns * th * tw * h_g,
+            bytes_accessed=3 * q.size * q.dtype.itemsize
+            + 2 * (k.size + v.size) * k.dtype.itemsize * (H // RT),
+            transcendentals=BG * H * W * Ns * h_g,
+        ),
+    )(pos.astype(jnp.float32), q, k, v, table, dout)
+
+    dpos = jnp.transpose(dpos_t, (0, 2, 1))          # (BG, Ns, 2)
+    dtable = dtbl_b.reshape(BG // g, g, h_g, th, tw).sum(0)
+    qd, kd_, vd, posd, tbld = in_dtypes
+    return (
+        dq.astype(qd),
+        dk.astype(kd_),
+        dv.astype(vd),
+        dpos.astype(posd),
+        dtable.astype(tbld),
+    )
+
+
 def _xla_reference(q, k, v, pos, table, *, n_groups, scale):
     """Composite (unfused) computation used for the backward pass and for
     correctness testing. Must match the kernel semantics exactly."""
@@ -469,25 +790,32 @@ def _fwd_impl(q, k, v, pos, table, n_groups, scale, interpret, version):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def fused_deform_attention(q, k, v, pos, table, n_groups, scale,
-                           interpret=False, version=2):
-    """Fused forward; backward recomputes via the XLA composite.
+                           interpret=False, version=2, fused_bwd=True):
+    """Fused forward with a fused backward (``fused_bwd=True``, default)
+    or an XLA-composite recompute backward.
 
-    Only (q, k, v, pos, table) are saved as residuals — far less
-    activation memory than XLA autodiff through the composite, which
+    Either way only (q, k, v, pos, table) are saved as residuals — far
+    less activation memory than XLA autodiff through the composite, which
     also keeps the (HW x Ns) attention/bias tensors.
     """
     return _fwd_impl(q, k, v, pos, table, n_groups, scale, interpret, version)
 
 
-def _fda_fwd(q, k, v, pos, table, n_groups, scale, interpret, version):
+def _fda_fwd(q, k, v, pos, table, n_groups, scale, interpret, version,
+             fused_bwd):
     out = _fwd_impl(q, k, v, pos, table, n_groups, scale, interpret, version)
     return out, (q, k, v, pos, table)
 
 
-def _fda_bwd(n_groups, scale, interpret, version, residuals, grad):
+def _fda_bwd(n_groups, scale, interpret, version, fused_bwd, residuals, grad):
     q, k, v, pos, table = residuals
+    if fused_bwd:
+        return fused_deform_attention_bwd_v2(
+            q, k, v, pos, table, grad, n_groups=n_groups, scale=scale,
+            interpret=interpret,
+        )
     _, vjp = jax.vjp(
         lambda q_, k_, v_, pos_, tbl_: _xla_reference(
             q_, k_, v_, pos_, tbl_, n_groups=n_groups, scale=scale

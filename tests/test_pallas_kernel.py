@@ -44,9 +44,43 @@ def test_fused_kernel_matches_xla(shape, version):
     )
 
 
+@pytest.mark.parametrize(
+    "shape",
+    [
+        dict(B=2, g=1, h_g=2, hc=4, H=8, W=8, Ns=4, th=15, tw=15),
+        dict(B=1, g=2, h_g=2, hc=4, H=8, W=16, Ns=9, th=15, tw=15),
+        dict(B=2, g=2, h_g=1, hc=8, H=16, W=8, Ns=16, th=31, tw=15),
+    ],
+)
+def test_fused_backward_matches_xla_vjp(shape):
+    """The fused Pallas backward emits (dq, dk, dv, dpos, dtable) matching
+    the XLA composite's autodiff to f32 precision (interpret mode)."""
+    q, k, v, pos, table = _inputs(**shape)
+    g = table.shape[0]
+    scale = (q.shape[-1] // table.shape[1]) ** -0.5
+    dout = jnp.asarray(
+        np.random.RandomState(7).randn(*q.shape).astype(np.float32)
+    )
+
+    _, vjp_f = jax.vjp(
+        lambda *a: fused_deform_attention(*a, g, scale, True, 2, True),
+        q, k, v, pos, table,
+    )
+    _, vjp_x = jax.vjp(
+        lambda *a: _xla_reference(*a, n_groups=g, scale=scale),
+        q, k, v, pos, table,
+    )
+    for name, a, b in zip(
+        ("dq", "dk", "dv", "dpos", "dtable"), vjp_f(dout), vjp_x(dout)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )
+
+
 def test_fused_kernel_gradients_flow():
-    """custom_vjp backward (XLA recompute) produces grads matching the
-    composite's grads."""
+    """custom_vjp backward produces grads matching the composite's."""
     q, k, v, pos, table = _inputs(B=1, g=1, h_g=2, hc=8, H=8, W=8, Ns=9,
                                   th=9, tw=9)
     scale = 8 ** -0.5

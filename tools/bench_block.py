@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--impl", default="xla")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--batch", type=int, default=B)
+    ap.add_argument("--grad", action="store_true",
+                    help="time fwd+bwd (value_and_grad wrt params and x)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -76,24 +78,48 @@ def main():
 
     R = args.repeats
 
-    @jax.jit
-    def chained(x):
-        for _ in range(R):
-            x = block.apply(variables, x) + 0.1 * x
-        return x
+    if args.grad:
+        params = variables["params"]
 
-    out = chained(x)
-    out.block_until_ready()
-    _fetch(out)
-    t0 = time.perf_counter()
-    o = None
-    for _ in range(args.iters):
-        o = chained(x)
-    _fetch(o)
-    per_apply = (time.perf_counter() - t0) / args.iters / R
+        @jax.jit
+        def chained(params, x):
+            def loss(p, x):
+                for _ in range(R):
+                    x = block.apply({"params": p}, x) + 0.1 * x
+                return jnp.sum(x.astype(jnp.float32) ** 2)
+
+            l, g = jax.value_and_grad(loss)(params, x)
+            return l, g
+
+        out = chained(params, x)
+        _fetch(out[0][None])
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(args.iters):
+            o = chained(params, x)
+        _fetch(o[0][None])
+        per_apply = (time.perf_counter() - t0) / args.iters / R
+        mode = "fwd+bwd"
+    else:
+        @jax.jit
+        def chained(x):
+            for _ in range(R):
+                x = block.apply(variables, x) + 0.1 * x
+            return x
+
+        out = chained(x)
+        out.block_until_ready()
+        _fetch(out)
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(args.iters):
+            o = chained(x)
+        _fetch(o)
+        per_apply = (time.perf_counter() - t0) / args.iters / R
+        mode = "fwd"
     print(
         f"stage{args.stage} impl={args.impl} pe={not args.no_pe} "
-        f"B={args.batch}: {per_apply*1e3:.3f} ms/block-apply "
+        f"B={args.batch} {mode}: {per_apply*1e3:.3f} ms/block-apply "
         f"(R={R}, iters={args.iters}, backend={jax.default_backend()})",
         flush=True,
     )

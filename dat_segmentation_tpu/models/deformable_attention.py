@@ -28,6 +28,7 @@ Semantics parity notes (traps called out in SURVEY.md §7):
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -179,10 +180,13 @@ class DeformableAttention(nn.Module):
             v_g = v.reshape(B, Ns, g, Cg).transpose(0, 2, 1, 3)
             v_g = v_g.reshape(B * g, Ns, Cg)
             interpret = jax.default_backend() != "tpu"
+            # experiment hooks: kernel version / backward implementation
+            version = int(os.environ.get("DAT_TPU_KERNEL_VERSION", "2"))
+            fused_bwd = os.environ.get("DAT_TPU_FUSED_BWD", "1") != "0"
             out = fused_deform_attention(
                 q_g, k_g, v_g, pos,
                 table.reshape(g, h_g, th, tw),
-                g, scale, interpret,
+                g, scale, interpret, version, fused_bwd,
             )
             out = out.reshape(B, g, H, W, Cg).transpose(0, 2, 3, 1, 4)
             out = out.reshape(B, H, W, C)

@@ -280,6 +280,111 @@ def _kernel_v2(
             o_ref[0, r, :, h * hc : (h + 1) * hc] = out_rh.astype(o_ref.dtype)
 
 
+def _kernel_v3(
+    pos_ref,    # (1, Ns, 2) f32, (y, x) normalized
+    q_ref,      # (1, RT, W, Cg)
+    k_ref,      # (1, Ns, Cg)
+    v_ref,      # (1, Ns, Cg)
+    tbl_ref,    # (1, h_g, th, tw)
+    o_ref,      # (1, RT, W, Cg)
+    wx_ref,     # VMEM scratch (Ns, W, tw)
+    m1_ref,     # VMEM scratch (h_g, Ns, RT, tw)
+    *,
+    H: int,
+    W: int,
+    RT: int,
+    XC: int,
+    h_g: int,
+    hc: int,
+    th: int,
+    tw: int,
+    scale: float,
+):
+    """v2 with the per-row python loop replaced by two multi-free-dim
+    dot_generals per head: s = K . Q over the whole (RT, W) tile at once
+    and out = P . V likewise. Mosaic accepts the internal (RT, W) flatten
+    at full-lane W; eliminating the RT-times-unrolled 2-D dots turns the
+    QK/AV stream into single large-M matmuls and cuts compile time."""
+    Ns = pos_ref.shape[1]
+    t = pl.program_id(1)
+    wdt = q_ref.dtype
+
+    py = pos_ref[0, :, 0]
+    px = pos_ref[0, :, 1]
+
+    @pl.when(t == 0)
+    def _build_wx():
+        def body(i, carry):
+            xg = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, XC), 1) + i * XC
+            ).astype(jnp.float32)
+            xg = xg / max(W - 1.0, 1.0) * 2.0 - 1.0
+            dx = (xg - px[:, None]) * 0.5
+            fx = (dx + 1.0) * 0.5 * (tw - 1)
+            wx_ref[:, pl.ds(i * XC, XC), :] = _lerp_taps(fx, tw).astype(wdt)
+            return carry
+
+        jax.lax.fori_loop(0, W // XC, body, 0)
+
+    yg = jax.lax.broadcasted_iota(jnp.int32, (1, RT), 1).astype(jnp.float32)
+    yg = (yg + t * RT) / max(H - 1.0, 1.0) * 2.0 - 1.0
+    dy = (yg - py[:, None]) * 0.5
+    fy = (dy + 1.0) * 0.5 * (th - 1)
+    wy = _lerp_taps(fy, th).astype(wdt).reshape(Ns * RT, th)
+    for h in range(h_g):
+        m1 = jax.lax.dot_general(
+            wy, tbl_ref[0, h].astype(wdt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m1_ref[h] = m1.astype(wdt).reshape(Ns, RT, tw)
+
+    k = k_ref[0]
+    v = v_ref[0]
+    qb = q_ref[0]  # (RT, W, Cg)
+    for h in range(h_g):
+        k_h = k[:, h * hc : (h + 1) * hc]
+        v_h = v[:, h * hc : (h + 1) * hc]
+        q_h = qb[:, :, h * hc : (h + 1) * hc]  # (RT, W, hc)
+
+        bias = jax.lax.dot_general(
+            m1_ref[h], wx_ref[...],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (Ns, RT, W)
+
+        # s[n, r, x] = sum_c k[n, c] q[r, x, c]
+        s = jax.lax.dot_general(
+            k_h, q_h,
+            dimension_numbers=(((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Ns, RT, W)
+        s = s * scale + bias
+        s = s - jnp.max(s, axis=0, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=0, keepdims=True)
+
+        # out[r, x, c] = sum_n p[n, r, x] v[n, c]
+        out_h = jax.lax.dot_general(
+            p.astype(v_h.dtype), v_h,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (RT, W, hc)
+        o_ref[0, :, :, h * hc : (h + 1) * hc] = out_h.astype(o_ref.dtype)
+
+
+def _v3_tiles(H: int, W: int, Ns: int, tw: int):
+    """(RT, XC) for the v3 kernel: the f32 (Ns, RT, W) s/p/bias temps are
+    the binding constraint (3 live at once); target <= ~24 MB of them."""
+    rt = max(1, min(H, 8_000_000 // (Ns * W * 4)))
+    while H % rt:
+        rt -= 1
+    xc = max(8, min(W, 2_000_000 // (Ns * max(tw, 1) * 4)))
+    while W % xc:
+        xc -= 1
+    return rt, xc
+
+
 def _v2_tiles(H: int, W: int, Ns: int, tw: int):
     """(RT, XC): row-tile height and x-chunk width for the v2 kernel."""
     # target ~2-4K queries per tile, bounded by the f32 bias temp
@@ -304,13 +409,15 @@ def fused_deform_attention_v2(
     n_groups: int,
     scale: float,
     interpret: bool = False,
+    version: int = 2,
 ) -> jax.Array:
     BG, H, W, Cg = q.shape
     Ns = k.shape[1]
     g, h_g, th, tw = table.shape
     hc = Cg // h_g
     assert BG % n_groups == 0 and g == n_groups
-    RT, XC = _v2_tiles(H, W, Ns, tw)
+    tiles = _v3_tiles if version == 3 else _v2_tiles
+    RT, XC = tiles(H, W, Ns, tw)
     grid = (BG, H // RT)
 
     out_dtype = q.dtype
@@ -322,7 +429,8 @@ def fused_deform_attention_v2(
         table = table.astype(jnp.bfloat16)
 
     kernel = functools.partial(
-        _kernel_v2, H=H, W=W, RT=RT, XC=XC, h_g=h_g, hc=hc, th=th, tw=tw,
+        _kernel_v3 if version == 3 else _kernel_v2,
+        H=H, W=W, RT=RT, XC=XC, h_g=h_g, hc=hc, th=th, tw=tw,
         scale=scale,
     )
     return pl.pallas_call(
@@ -783,10 +891,14 @@ def _xla_reference(q, k, v, pos, table, *, n_groups, scale):
 
 
 def _fwd_impl(q, k, v, pos, table, n_groups, scale, interpret, version):
-    fn = fused_deform_attention_v2 if version == 2 else fused_deform_attention_fwd
-    return fn(
+    if version == 1:
+        return fused_deform_attention_fwd(
+            q, k, v, pos, table, n_groups=n_groups, scale=scale,
+            interpret=interpret,
+        )
+    return fused_deform_attention_v2(
         q, k, v, pos, table, n_groups=n_groups, scale=scale,
-        interpret=interpret,
+        interpret=interpret, version=version,
     )
 
 

@@ -715,8 +715,13 @@ def _kernel_v2_bwd(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Ns*RT, tw)
+        # rank-2 all the way down: Mosaic's layout inference rejects the
+        # rank-1 intermediates a flat axis=(1,2) reduction produces.
         dfy = (dm1_2.astype(jnp.float32) * g1).reshape(Ns, RT, tw)
-        dpy_acc = dpy_acc + jnp.sum(dfy, axis=(1, 2))[None, :]
+        dfy_nr = jnp.sum(dfy, axis=2)  # (Ns, RT)
+        dpy_acc = dpy_acc + jnp.sum(
+            jnp.transpose(dfy_nr), axis=0, keepdims=True
+        )
 
         # dpx: chunked over x — dwx[n, x, u] = sum_r ds[n, r, x] m1[n, r, u]
         m1_h = m1_ref[h]
@@ -738,7 +743,10 @@ def _kernel_v2_bwd(
             dtapx = jnp.where(tapsx == i0x + 1, 1.0, 0.0) - jnp.where(
                 tapsx == i0x, 1.0, 0.0
             )
-            return acc + jnp.sum(dwx_c * dtapx, axis=(1, 2))[None, :]
+            dfx_nx = jnp.sum(dwx_c * dtapx, axis=2)  # (Ns, XC)
+            return acc + jnp.sum(
+                jnp.transpose(dfx_nx), axis=0, keepdims=True
+            )
 
         dpx_acc = dpx_acc + jax.lax.fori_loop(
             0, W // XC, xbody, jnp.zeros((1, Ns), jnp.float32)

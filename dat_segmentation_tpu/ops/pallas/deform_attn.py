@@ -552,6 +552,7 @@ def _kernel_v2_bwd(
     dtbl_ref,   # (1, h_g, th, tw) f32 out, accumulated (per-bg slice;
                 #   summed over the batch outside the kernel)
     wx_ref,     # VMEM scratch (Ns, W, tw): x tap weights (per bg)
+    dtapx_ref,  # VMEM scratch (Ns, W, tw): d(x taps)/d(fx) (per bg)
     m1_ref,     # VMEM scratch (h_g, Ns, RT, tw): row-interpolated table
     ds_ref,     # VMEM scratch (Ns, RT, W) f32: attention-logit grads
     *,
@@ -593,6 +594,12 @@ def _kernel_v2_bwd(
             dx = (xg - px[:, None]) * 0.5
             fx = (dx + 1.0) * 0.5 * (tw - 1)
             wx_ref[:, pl.ds(i * XC, XC), :] = _lerp_taps(fx, tw).astype(wdt)
+            i0x = jnp.floor(fx).astype(jnp.int32)[..., None]
+            tapsx = jax.lax.broadcasted_iota(jnp.int32, (Ns, XC, tw), 2)
+            dtapx_ref[:, pl.ds(i * XC, XC), :] = (
+                jnp.where(tapsx == i0x + 1, 1.0, 0.0)
+                - jnp.where(tapsx == i0x, 1.0, 0.0)
+            ).astype(wdt)
             return carry
 
         jax.lax.fori_loop(0, W // XC, body, 0)
@@ -723,33 +730,18 @@ def _kernel_v2_bwd(
             jnp.transpose(dfy_nr), axis=0, keepdims=True
         )
 
-        # dpx: chunked over x — dwx[n, x, u] = sum_r ds[n, r, x] m1[n, r, u]
-        m1_h = m1_ref[h]
-
-        def xbody(i, acc):
-            ds_c = ds_ref[:, :, pl.ds(i * XC, XC)].astype(wdt)  # (Ns, RT, XC)
-            dwx_c = jax.lax.dot_general(
-                ds_c, m1_h,
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # (Ns, XC, tw)
-            xg = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, XC), 1) + i * XC
-            ).astype(jnp.float32)
-            xg = xg / max(W - 1.0, 1.0) * 2.0 - 1.0
-            fx = ((xg - px[:, None]) * 0.5 + 1.0) * 0.5 * (tw - 1)
-            i0x = jnp.floor(fx).astype(jnp.int32)[..., None]
-            tapsx = jax.lax.broadcasted_iota(jnp.int32, (Ns, XC, tw), 2)
-            dtapx = jnp.where(tapsx == i0x + 1, 1.0, 0.0) - jnp.where(
-                tapsx == i0x, 1.0, 0.0
-            )
-            dfx_nx = jnp.sum(dwx_c * dtapx, axis=2)  # (Ns, XC)
-            return acc + jnp.sum(
-                jnp.transpose(dfx_nx), axis=0, keepdims=True
-            )
-
-        dpx_acc = dpx_acc + jax.lax.fori_loop(
-            0, W // XC, xbody, jnp.zeros((1, Ns), jnp.float32)
+        # dpx: dfx[n, x] = sum_{r, u} ds[n, r, x] m1[n, r, u] dtapx[n, x, u]
+        # — contract (m1, dtapx) over u first, a batched matmul of the
+        # same shape as the bias matmul (a lane-dim dynamic-slice chunked
+        # form trips Mosaic: lane slices must be 128-aligned).
+        cx = jax.lax.dot_general(
+            m1_ref[h], dtapx_ref[...],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (Ns, RT, W)
+        dfx_nr = jnp.sum(ds_ref[...] * cx, axis=2)  # (Ns, RT)
+        dpx_acc = dpx_acc + jnp.sum(
+            jnp.transpose(dfx_nr), axis=0, keepdims=True
         )
 
     # chain rule through fy = ((yg - py) * 0.5 + 1) * 0.5 * (th - 1)
@@ -827,6 +819,7 @@ def fused_deform_attention_bwd_v2(
             jax.ShapeDtypeStruct((BG, h_g, th, tw), jnp.float32),
         ],
         scratch_shapes=[
+            pltpu.VMEM((Ns, W, tw), kdt),
             pltpu.VMEM((Ns, W, tw), kdt),
             pltpu.VMEM((h_g, Ns, RT, tw), kdt),
             pltpu.VMEM((Ns, RT, W), jnp.float32),

@@ -288,7 +288,7 @@ def _kernel_v3(
     tbl_ref,    # (1, h_g, th, tw)
     o_ref,      # (1, RT, W, Cg)
     wx_ref,     # VMEM scratch (Ns, W, tw)
-    m1_ref,     # VMEM scratch (h_g, Ns, RT, tw)
+    m1_ref,     # VMEM scratch (Ns, h_g*RT, tw): heads folded into rows
     *,
     H: int,
     W: int,
@@ -300,11 +300,17 @@ def _kernel_v3(
     tw: int,
     scale: float,
 ):
-    """v2 with the per-row python loop replaced by two multi-free-dim
-    dot_generals per head: s = K . Q over the whole (RT, W) tile at once
-    and out = P . V likewise. Mosaic accepts the internal (RT, W) flatten
-    at full-lane W; eliminating the RT-times-unrolled 2-D dots turns the
-    QK/AV stream into single large-M matmuls and cuts compile time."""
+    """Large-M variant for W >= 128 stages.
+
+    Two structural fixes over v2 (ablation-driven: the bias apply was 36%
+    of the b8 forward at ~3.4 TF/s because each per-sample batched matmul
+    ran with M = RT = 16 rows — 12.5% MXU row utilization):
+    * heads fold into the M dimension of ONE batched bias matmul,
+      (Ns) x (h_g*RT, tw) @ (tw, W), so M = h_g*RT = 128 at stage 0;
+    * QK / AV run as multi-free-dim dot_generals over the whole (RT, W)
+      tile (legal when W fills the 128 lanes) instead of RT unrolled
+      2-D dots.
+    """
     Ns = pos_ref.shape[1]
     t = pl.program_id(1)
     wdt = q_ref.dtype
@@ -337,7 +343,16 @@ def _kernel_v3(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        m1_ref[h] = m1.astype(wdt).reshape(Ns, RT, tw)
+        m1_ref[:, h * RT : (h + 1) * RT, :] = m1.astype(wdt).reshape(
+            Ns, RT, tw
+        )
+
+    # ONE batched bias matmul for every head: (Ns, h_g*RT, W)
+    bias_all = jax.lax.dot_general(
+        m1_ref[...], wx_ref[...],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
 
     k = k_ref[0]
     v = v_ref[0]
@@ -347,19 +362,13 @@ def _kernel_v3(
         v_h = v[:, h * hc : (h + 1) * hc]
         q_h = qb[:, :, h * hc : (h + 1) * hc]  # (RT, W, hc)
 
-        bias = jax.lax.dot_general(
-            m1_ref[h], wx_ref[...],
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (Ns, RT, W)
-
         # s[n, r, x] = sum_c k[n, c] q[r, x, c]
         s = jax.lax.dot_general(
             k_h, q_h,
             dimension_numbers=(((1,), (2,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Ns, RT, W)
-        s = s * scale + bias
+        s = s * scale + bias_all[:, h * RT : (h + 1) * RT, :]
         s = s - jnp.max(s, axis=0, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=0, keepdims=True)
@@ -373,10 +382,12 @@ def _kernel_v3(
         o_ref[0, :, :, h * hc : (h + 1) * hc] = out_h.astype(o_ref.dtype)
 
 
-def _v3_tiles(H: int, W: int, Ns: int, tw: int):
-    """(RT, XC) for the v3 kernel: the f32 (Ns, RT, W) s/p/bias temps are
-    the binding constraint (3 live at once); target <= ~24 MB of them."""
-    rt = max(1, min(H, 8_000_000 // (Ns * W * 4)))
+def _v3_tiles(H: int, W: int, Ns: int, tw: int, h_g: int = 1):
+    """(RT, XC) for the v3 kernel. RT targets h_g*RT = 128 (full MXU rows
+    in the folded bias matmul), bounded by the f32 (Ns, h_g*RT, W)
+    bias/s/p temporaries (~16 MB each)."""
+    hr = max(1, min(128, 16_000_000 // max(1, Ns * W * 4)))
+    rt = max(1, min(H, hr // max(h_g, 1)))
     while H % rt:
         rt -= 1
     xc = max(8, min(W, 2_000_000 // (Ns * max(tw, 1) * 4)))
@@ -416,8 +427,12 @@ def fused_deform_attention_v2(
     g, h_g, th, tw = table.shape
     hc = Cg // h_g
     assert BG % n_groups == 0 and g == n_groups
-    tiles = _v3_tiles if version == 3 else _v2_tiles
-    RT, XC = tiles(H, W, Ns, tw)
+    if version == 0:  # auto: large-M kernel where its lane flatten is legal
+        version = 3 if W >= 128 else 2
+    if version == 3:
+        RT, XC = _v3_tiles(H, W, Ns, tw, h_g)
+    else:
+        RT, XC = _v2_tiles(H, W, Ns, tw)
     grid = (BG, H // RT)
 
     out_dtype = q.dtype
@@ -453,14 +468,18 @@ def fused_deform_attention_v2(
         out_shape=jax.ShapeDtypeStruct((BG, H, W, Cg), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((Ns, W, tw), q.dtype),
-            pltpu.VMEM((h_g, Ns, RT, tw), q.dtype),
+            pltpu.VMEM(
+                (Ns, h_g * RT, tw) if version == 3
+                else (h_g, Ns, RT, tw),
+                q.dtype,
+            ),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             # v5e has 128 MB of VMEM; the default 16 MB scoped budget is
-            # what forced v1's 32-lane x-blocks. 64 MB leaves headroom for
-            # double-buffered input blocks.
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # what forced v1's 32-lane x-blocks. v3's folded (Ns, 128, W)
+            # f32 bias temp needs the larger budget.
+            vmem_limit_bytes=(96 if version == 3 else 64) * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * BG * H * W * Ns * (2 * hc * h_g + tw * h_g)

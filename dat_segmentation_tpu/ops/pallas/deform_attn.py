@@ -546,12 +546,14 @@ def fused_deform_attention_fwd(
     )(pos.astype(jnp.float32), q, k, v, table)
 
 
-def _bwd_tiles(H: int, W: int, Ns: int, tw: int):
-    """(RT, XC) for the backward kernel: same sizing rule as the forward
-    but RT capped at 16 — the bwd body holds ~2x the matmuls per row, so
-    smaller tiles keep Mosaic compile time and f32 temporaries bounded."""
-    rt, xc = _v2_tiles(H, W, Ns, tw)
-    rt = min(rt, 16)
+def _bwd_tiles(H: int, W: int, Ns: int, tw: int, h_g: int = 1):
+    """(RT, XC) for the backward kernel. The bias-gradient batched
+    matmuls run with M = h_g*RT rows (heads folded), so RT targets
+    h_g*RT = 64 — bounded by the f32 (Ns, h_g*RT, W) ds/cx temporaries
+    and by Mosaic compile time of the RT-unrolled attention-grad dots."""
+    _, xc = _v2_tiles(H, W, Ns, tw)
+    hr = max(1, min(64, 8_000_000 // max(1, Ns * W * 4)))
+    rt = max(1, min(H, hr // max(h_g, 1)))
     while H % rt:
         rt -= 1
     return rt, xc
@@ -572,8 +574,8 @@ def _kernel_v2_bwd(
                 #   summed over the batch outside the kernel)
     wx_ref,     # VMEM scratch (Ns, W, tw): x tap weights (per bg)
     dtapx_ref,  # VMEM scratch (Ns, W, tw): d(x taps)/d(fx) (per bg)
-    m1_ref,     # VMEM scratch (h_g, Ns, RT, tw): row-interpolated table
-    ds_ref,     # VMEM scratch (Ns, RT, W) f32: attention-logit grads
+    m1_ref,     # VMEM scratch (Ns, h_g*RT, tw): head-folded interp table
+    ds_ref,     # VMEM scratch (Ns, h_g*RT, W) f32: head-folded logit grads
     *,
     H: int,
     W: int,
@@ -636,7 +638,9 @@ def _kernel_v2_bwd(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        m1_ref[h] = m1.astype(wdt).reshape(Ns, RT, tw)
+        m1_ref[:, h * RT : (h + 1) * RT, :] = m1.astype(wdt).reshape(
+            Ns, RT, tw
+        )
 
     # d(lerp taps)/d(coord): -1 at tap floor(f), +1 at floor(f)+1 (the
     # same subgradient lerp_weight_matrix's autodiff produces); OOB taps
@@ -649,20 +653,18 @@ def _kernel_v2_bwd(
     ).astype(wdt)
     dtapy2 = dtapy.reshape(Ns * RT, th)
 
+    # bias for every head at once: (Ns, h_g*RT, W), M = h_g*RT MXU rows
+    bias_all = jax.lax.dot_general(
+        m1_ref[...], wx_ref[...],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
     k = k_ref[0]
     v = v_ref[0]
-    dpy_acc = jnp.zeros((1, Ns), jnp.float32)
-    dpx_acc = jnp.zeros((1, Ns), jnp.float32)
     for h in range(h_g):
         k_h = k[:, h * hc : (h + 1) * hc]  # (Ns, hc)
         v_h = v[:, h * hc : (h + 1) * hc]
-        tbl_h = tbl_ref[0, h].astype(wdt)  # (th, tw)
-
-        bias = jax.lax.dot_general(
-            m1_ref[h], wx_ref[...],
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (Ns, RT, W)
 
         dk_h = jnp.zeros((Ns, hc), jnp.float32)
         dv_h = jnp.zeros((Ns, hc), jnp.float32)
@@ -676,7 +678,7 @@ def _kernel_v2_bwd(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (Ns, W)
-            s = s * scale + bias[:, r, :]
+            s = s * scale + bias_all[:, h * RT + r, :]
             s = s - jnp.max(s, axis=0, keepdims=True)
             p = jnp.exp(s)
             p = p / jnp.sum(p, axis=0, keepdims=True)
@@ -697,7 +699,7 @@ def _kernel_v2_bwd(
             # softmax backward over Ns (axis 0)
             ds = p * (dp - jnp.sum(p * dp, axis=0, keepdims=True))
             ds_lo = ds.astype(wdt)
-            ds_ref[:, r, :] = ds
+            ds_ref[:, h * RT + r, :] = ds
 
             # dq[x, c] = scale * sum_n ds[n, x] k[n, c]
             dq_rh = jax.lax.dot_general(
@@ -718,50 +720,49 @@ def _kernel_v2_bwd(
         dk_ref[0, :, h * hc : (h + 1) * hc] += dk_h
         dv_ref[0, :, h * hc : (h + 1) * hc] += dv_h
 
-        # --- bias-path gradients (dbias == ds, accumulated in ds_ref)
-        ds_all = ds_ref[...].astype(wdt)  # (Ns, RT, W)
-        # dm1[n, r, u] = sum_x ds[n, r, x] wx[n, x, u]
-        dm1 = jax.lax.dot_general(
-            ds_all, wx_ref[...],
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (Ns, RT, tw)
-        dm1_2 = dm1.astype(wdt).reshape(Ns * RT, tw)
+    # --- bias-path gradients, all heads folded (dbias == ds)
+    ds_all = ds_ref[...].astype(wdt)  # (Ns, h_g*RT, W)
+    # dm1[n, m, u] = sum_x ds[n, m, x] wx[n, x, u]  (M = h_g*RT rows)
+    dm1 = jax.lax.dot_general(
+        ds_all, wx_ref[...],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (Ns, h_g*RT, tw)
+    dm1_lo = dm1.astype(wdt)
 
+    dpy_acc = jnp.zeros((1, Ns), jnp.float32)
+    for h in range(h_g):
+        dm1_h2 = dm1_lo[:, h * RT : (h + 1) * RT, :].reshape(Ns * RT, tw)
         # dtable[t, u] += sum_{n, r} wy[n, r, t] dm1[n, r, u]
         dtbl_ref[0, h] += jax.lax.dot_general(
-            wy2, dm1_2,
+            wy2, dm1_h2,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
         # dpy: dfy[n, r] = sum_u dm1[n, r, u] * (sum_t dtapy[n, r, t] T[t, u])
         g1 = jax.lax.dot_general(
-            dtapy2, tbl_h,
+            dtapy2, tbl_ref[0, h].astype(wdt),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Ns*RT, tw)
         # rank-2 all the way down: Mosaic's layout inference rejects the
         # rank-1 intermediates a flat axis=(1,2) reduction produces.
-        dfy = (dm1_2.astype(jnp.float32) * g1).reshape(Ns, RT, tw)
+        dfy = (dm1_h2.astype(jnp.float32) * g1).reshape(Ns, RT, tw)
         dfy_nr = jnp.sum(dfy, axis=2)  # (Ns, RT)
         dpy_acc = dpy_acc + jnp.sum(
             jnp.transpose(dfy_nr), axis=0, keepdims=True
         )
 
-        # dpx: dfx[n, x] = sum_{r, u} ds[n, r, x] m1[n, r, u] dtapx[n, x, u]
-        # — contract (m1, dtapx) over u first, a batched matmul of the
-        # same shape as the bias matmul (a lane-dim dynamic-slice chunked
-        # form trips Mosaic: lane slices must be 128-aligned).
-        cx = jax.lax.dot_general(
-            m1_ref[h], dtapx_ref[...],
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (Ns, RT, W)
-        dfx_nr = jnp.sum(ds_ref[...] * cx, axis=2)  # (Ns, RT)
-        dpx_acc = dpx_acc + jnp.sum(
-            jnp.transpose(dfx_nr), axis=0, keepdims=True
-        )
+    # dpx: dfx[n, x] = sum_{m, u} ds[n, m, x] m1[n, m, u] dtapx[n, x, u]
+    # — contract (m1, dtapx) over u first (a lane-dim dynamic-slice
+    # chunked form trips Mosaic: lane slices must be 128-aligned).
+    cx = jax.lax.dot_general(
+        m1_ref[...], dtapx_ref[...],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (Ns, h_g*RT, W)
+    dfx_nm = jnp.sum(ds_ref[...] * cx, axis=2)  # (Ns, h_g*RT)
+    dpx_acc = jnp.sum(jnp.transpose(dfx_nm), axis=0, keepdims=True)
 
     # chain rule through fy = ((yg - py) * 0.5 + 1) * 0.5 * (th - 1)
     dpos_ref[0] += jnp.concatenate(
@@ -787,7 +788,7 @@ def fused_deform_attention_bwd_v2(
     g, h_g, th, tw = table.shape
     hc = Cg // h_g
     assert BG % n_groups == 0 and g == n_groups
-    RT, XC = _bwd_tiles(H, W, Ns, tw)
+    RT, XC = _bwd_tiles(H, W, Ns, tw, h_g)
     grid = (BG, H // RT)
 
     in_dtypes = (q.dtype, k.dtype, v.dtype, pos.dtype, table.dtype)
@@ -840,8 +841,8 @@ def fused_deform_attention_bwd_v2(
         scratch_shapes=[
             pltpu.VMEM((Ns, W, tw), kdt),
             pltpu.VMEM((Ns, W, tw), kdt),
-            pltpu.VMEM((h_g, Ns, RT, tw), kdt),
-            pltpu.VMEM((Ns, RT, W), jnp.float32),
+            pltpu.VMEM((Ns, h_g * RT, tw), kdt),
+            pltpu.VMEM((Ns, h_g * RT, W), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

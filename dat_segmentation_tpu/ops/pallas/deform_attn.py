@@ -29,6 +29,7 @@ Other PE modes use the XLA path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -197,6 +198,7 @@ def _kernel_v2(
     th: int,
     tw: int,
     scale: float,
+    nobias: bool = False,  # debug: skip the RPE-bias path entirely
 ):
     """Full-row-width kernel: every matmul keeps >=W lanes busy.
 
@@ -229,7 +231,8 @@ def _kernel_v2(
             wx_ref[:, pl.ds(i * XC, XC), :] = _lerp_taps(fx, tw).astype(wdt)
             return carry
 
-        jax.lax.fori_loop(0, W // XC, body, 0)
+        if not nobias:
+            jax.lax.fori_loop(0, W // XC, body, 0)
 
     # --- y-interpolated table rows, one big-M matmul per head
     yg = jax.lax.broadcasted_iota(jnp.int32, (1, RT), 1).astype(jnp.float32)
@@ -237,13 +240,14 @@ def _kernel_v2(
     dy = (yg - py[:, None]) * 0.5  # (Ns, RT)
     fy = (dy + 1.0) * 0.5 * (th - 1)
     wy = _lerp_taps(fy, th).astype(wdt).reshape(Ns * RT, th)
-    for h in range(h_g):
-        m1 = jax.lax.dot_general(
-            wy, tbl_ref[0, h].astype(wdt),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Ns*RT, tw)
-        m1_ref[h] = m1.astype(wdt).reshape(Ns, RT, tw)
+    if not nobias:
+        for h in range(h_g):
+            m1 = jax.lax.dot_general(
+                wy, tbl_ref[0, h].astype(wdt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Ns*RT, tw)
+            m1_ref[h] = m1.astype(wdt).reshape(Ns, RT, tw)
 
     k = k_ref[0]
     v = v_ref[0]
@@ -251,12 +255,15 @@ def _kernel_v2(
         k_h = k[:, h * hc : (h + 1) * hc]  # (Ns, hc)
         v_h = v[:, h * hc : (h + 1) * hc]
 
-        # bias[n, r, x] = sum_u m1[h][n, r, u] * wx[n, x, u]
-        bias = jax.lax.dot_general(
-            m1_ref[h], wx_ref[...],
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (Ns, RT, W)
+        if nobias:
+            bias = None
+        else:
+            # bias[n, r, x] = sum_u m1[h][n, r, u] * wx[n, x, u]
+            bias = jax.lax.dot_general(
+                m1_ref[h], wx_ref[...],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (Ns, RT, W)
 
         for r in range(RT):
             q_rh = q_ref[0, r, :, h * hc : (h + 1) * hc]  # (W, hc)
@@ -265,7 +272,7 @@ def _kernel_v2(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (Ns, W)
-            s = s * scale + bias[:, r, :]
+            s = s * scale + (0.0 if nobias else bias[:, r, :])
 
             # softmax over Ns (axis 0), fp32
             s = s - jnp.max(s, axis=0, keepdims=True)
@@ -443,10 +450,14 @@ def fused_deform_attention_v2(
         q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
         table = table.astype(jnp.bfloat16)
 
+    kw = {}
+    if version != 3:
+        # debug knob for perf attribution: skip the RPE-bias path
+        kw["nobias"] = os.environ.get("DAT_TPU_KERNEL_NOBIAS", "0") == "1"
     kernel = functools.partial(
         _kernel_v3 if version == 3 else _kernel_v2,
         H=H, W=W, RT=RT, XC=XC, h_g=h_g, hc=hc, th=th, tw=tw,
-        scale=scale,
+        scale=scale, **kw,
     )
     return pl.pallas_call(
         kernel,

@@ -42,6 +42,8 @@ def surgery(cfg, variant):
         b = dataclasses.replace(b, use_lpus=(False,) * 4)
     elif variant == "plainmlp":
         b = dataclasses.replace(b, use_dwc_mlps=(False,) * 4)
+    elif variant == "xlaimpl":
+        b = dataclasses.replace(b, kernel_impl="xla")
     elif variant not in ("full", "backbone"):
         raise ValueError(variant)
     return dataclasses.replace(

@@ -403,6 +403,128 @@ def _v3_tiles(H: int, W: int, Ns: int, tw: int, h_g: int = 1):
     return rt, xc
 
 
+def _kernel_v4(
+    pos_ref,    # (1, Ns, 2) f32, (y, x) normalized
+    q_ref,      # (1, RT, W, Cg)
+    k_ref,      # (1, Ns, Cg)
+    v_ref,      # (1, Ns, Cg)
+    tbl_ref,    # (1, h_g, th, tw)
+    o_ref,      # (1, RT, W, Cg)
+    wx_ref,     # VMEM scratch (Ns, W, tw)
+    m1_ref,     # VMEM scratch (Ns, h_g*RT, tw)
+    *,
+    H: int,
+    W: int,
+    RT: int,
+    XC: int,
+    h_g: int,
+    hc: int,
+    th: int,
+    tw: int,
+    scale: float,
+):
+    """Query-major kernel for narrow-W stages.
+
+    At stages with W < 128 every (.., W)-lane matmul of the v2 kernel
+    wastes 50-87% of the MXU columns. Here queries live in ROWS and the
+    Ns sampled points in LANES (Ns = 256 = 2 full lane groups at every
+    DAT stage): s2 = Q2 (RT*W, hc) @ K^T and out = P2 @ V are single
+    full-lane matmuls, and softmax reduces along lanes. The bias is
+    computed sample-major (heads folded, as v3) and enters via RT cheap
+    (Ns, W) -> (W, Ns) 2-D transposes.
+    """
+    Ns = pos_ref.shape[1]
+    t = pl.program_id(1)
+    wdt = q_ref.dtype
+
+    py = pos_ref[0, :, 0]
+    px = pos_ref[0, :, 1]
+
+    @pl.when(t == 0)
+    def _build_wx():
+        def body(i, carry):
+            xg = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, XC), 1) + i * XC
+            ).astype(jnp.float32)
+            xg = xg / max(W - 1.0, 1.0) * 2.0 - 1.0
+            dx = (xg - px[:, None]) * 0.5
+            fx = (dx + 1.0) * 0.5 * (tw - 1)
+            wx_ref[:, pl.ds(i * XC, XC), :] = _lerp_taps(fx, tw).astype(wdt)
+            return carry
+
+        jax.lax.fori_loop(0, W // XC, body, 0)
+
+    yg = jax.lax.broadcasted_iota(jnp.int32, (1, RT), 1).astype(jnp.float32)
+    yg = (yg + t * RT) / max(H - 1.0, 1.0) * 2.0 - 1.0
+    dy = (yg - py[:, None]) * 0.5
+    fy = (dy + 1.0) * 0.5 * (th - 1)
+    wy = _lerp_taps(fy, th).astype(wdt).reshape(Ns * RT, th)
+    for h in range(h_g):
+        m1 = jax.lax.dot_general(
+            wy, tbl_ref[0, h].astype(wdt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m1_ref[:, h * RT : (h + 1) * RT, :] = m1.astype(wdt).reshape(
+            Ns, RT, tw
+        )
+
+    bias_all = jax.lax.dot_general(
+        m1_ref[...], wx_ref[...],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (Ns, h_g*RT, W)
+
+    k = k_ref[0]
+    v = v_ref[0]
+    q2 = q_ref[0].reshape(RT * W, h_g * hc)
+    for h in range(h_g):
+        k_h = k[:, h * hc : (h + 1) * hc]  # (Ns, hc)
+        v_h = v[:, h * hc : (h + 1) * hc]
+        q2_h = q2[:, h * hc : (h + 1) * hc]  # (RT*W, hc)
+
+        # s2[(r, x), n] — one full-lane matmul (N = Ns = 256)
+        s2 = jax.lax.dot_general(
+            q2_h, k_h,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (RT*W, Ns)
+        s3 = s2.reshape(RT, W, Ns)
+        # add the sample-major bias via RT cheap 2-D transposes
+        rows = []
+        for r in range(RT):
+            rows.append(jnp.transpose(bias_all[:, h * RT + r, :]))  # (W, Ns)
+        b3 = jnp.stack(rows, axis=0)  # (RT, W, Ns)
+        s3 = s3 + b3
+        s2 = s3.reshape(RT * W, Ns)
+
+        # softmax along lanes (the sampled points)
+        s2 = s2 - jnp.max(s2, axis=1, keepdims=True)
+        p2 = jnp.exp(s2)
+        p2 = p2 / jnp.sum(p2, axis=1, keepdims=True)
+
+        out_h = jax.lax.dot_general(
+            p2.astype(v_h.dtype), v_h,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (RT*W, hc)
+        o_ref[0, :, :, h * hc : (h + 1) * hc] = out_h.astype(
+            o_ref.dtype
+        ).reshape(RT, W, hc)
+
+
+def _v4_tiles(H: int, W: int, Ns: int, tw: int, h_g: int = 1):
+    """(RT, XC) for the query-major kernel: the f32 (RT*W, Ns) s/p temps
+    (~2 each) and the (Ns, h_g*RT, W) bias bound RT."""
+    rt = max(1, min(H, 4_000_000 // max(1, Ns * W * 4 * max(h_g, 1))))
+    while H % rt:
+        rt -= 1
+    xc = max(8, min(W, 2_000_000 // (Ns * max(tw, 1) * 4)))
+    while W % xc:
+        xc -= 1
+    return rt, xc
+
+
 def _v2_tiles(H: int, W: int, Ns: int, tw: int):
     """(RT, XC): row-tile height and x-chunk width for the v2 kernel."""
     # target ~2-4K queries per tile, bounded by the f32 bias temp
@@ -434,10 +556,12 @@ def fused_deform_attention_v2(
     g, h_g, th, tw = table.shape
     hc = Cg // h_g
     assert BG % n_groups == 0 and g == n_groups
-    if version == 0:  # auto: large-M kernel where its lane flatten is legal
-        version = 3 if W >= 128 else 2
+    if version == 0:  # auto: wide-lane kernel at wide stages, query-major
+        version = 3 if W >= 128 else 4  # at narrow ones
     if version == 3:
         RT, XC = _v3_tiles(H, W, Ns, tw, h_g)
+    elif version == 4:
+        RT, XC = _v4_tiles(H, W, Ns, tw, h_g)
     else:
         RT, XC = _v2_tiles(H, W, Ns, tw)
     grid = (BG, H // RT)
@@ -451,12 +575,12 @@ def fused_deform_attention_v2(
         table = table.astype(jnp.bfloat16)
 
     kw = {}
-    if version != 3:
+    if version == 2:
         # debug knob for perf attribution: skip the RPE-bias path
         kw["nobias"] = os.environ.get("DAT_TPU_KERNEL_NOBIAS", "0") == "1"
+    kfn = {2: _kernel_v2, 3: _kernel_v3, 4: _kernel_v4}[version]
     kernel = functools.partial(
-        _kernel_v3 if version == 3 else _kernel_v2,
-        H=H, W=W, RT=RT, XC=XC, h_g=h_g, hc=hc, th=th, tw=tw,
+        kfn, H=H, W=W, RT=RT, XC=XC, h_g=h_g, hc=hc, th=th, tw=tw,
         scale=scale, **kw,
     )
     return pl.pallas_call(
@@ -480,7 +604,7 @@ def fused_deform_attention_v2(
         scratch_shapes=[
             pltpu.VMEM((Ns, W, tw), q.dtype),
             pltpu.VMEM(
-                (Ns, h_g * RT, tw) if version == 3
+                (Ns, h_g * RT, tw) if version in (3, 4)
                 else (h_g, Ns, RT, tw),
                 q.dtype,
             ),
@@ -488,9 +612,9 @@ def fused_deform_attention_v2(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             # v5e has 128 MB of VMEM; the default 16 MB scoped budget is
-            # what forced v1's 32-lane x-blocks. v3's folded (Ns, 128, W)
-            # f32 bias temp needs the larger budget.
-            vmem_limit_bytes=(96 if version == 3 else 64) * 1024 * 1024,
+            # what forced v1's 32-lane x-blocks. v3/v4's folded
+            # (Ns, h_g*RT, W) f32 bias temp needs the larger budget.
+            vmem_limit_bytes=(96 if version in (3, 4) else 64) * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * BG * H * W * Ns * (2 * hc * h_g + tw * h_g)

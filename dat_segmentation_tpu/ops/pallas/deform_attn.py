@@ -412,6 +412,7 @@ def _kernel_v4(
     o_ref,      # (1, RT, W, Cg)
     wx_ref,     # VMEM scratch (Ns, W, tw)
     m1_ref,     # VMEM scratch (Ns, h_g*RT, tw)
+    tall_ref,   # VMEM scratch (th, h_g*tw): heads side-by-side in lanes
     *,
     H: int,
     W: int,
@@ -454,20 +455,28 @@ def _kernel_v4(
 
         jax.lax.fori_loop(0, W // XC, body, 0)
 
+    @pl.when(t == 0)
+    def _build_tall():
+        for h in range(h_g):
+            tall_ref[:, h * tw : (h + 1) * tw] = tbl_ref[0, h].astype(wdt)
+
     yg = jax.lax.broadcasted_iota(jnp.int32, (1, RT), 1).astype(jnp.float32)
     yg = (yg + t * RT) / max(H - 1.0, 1.0) * 2.0 - 1.0
     dy = (yg - py[:, None]) * 0.5
     fy = (dy + 1.0) * 0.5 * (th - 1)
     wy = _lerp_taps(fy, th).astype(wdt).reshape(Ns * RT, th)
+    # ONE m1 matmul with both heads' tables side-by-side in lanes: the
+    # (Ns*RT)-row M dim dominates this dot's cost (th, tw ≪ 128 at the
+    # narrow stages), so halving the number of passes ~halves it
+    m1a = jax.lax.dot_general(
+        wy, tall_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(wdt)  # (Ns*RT, h_g*tw)
     for h in range(h_g):
-        m1 = jax.lax.dot_general(
-            wy, tbl_ref[0, h].astype(wdt),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m1_ref[:, h * RT : (h + 1) * RT, :] = m1.astype(wdt).reshape(
-            Ns, RT, tw
-        )
+        m1_ref[:, h * RT : (h + 1) * RT, :] = m1a[
+            :, h * tw : (h + 1) * tw
+        ].reshape(Ns, RT, tw)
 
     bias_all = jax.lax.dot_general(
         m1_ref[...], wx_ref[...],
@@ -608,7 +617,9 @@ def fused_deform_attention_v2(
                 else (h_g, Ns, RT, tw),
                 q.dtype,
             ),
-        ],
+        ] + (
+            [pltpu.VMEM((th, h_g * tw), q.dtype)] if version == 4 else []
+        ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             # v5e has 128 MB of VMEM; the default 16 MB scoped budget is

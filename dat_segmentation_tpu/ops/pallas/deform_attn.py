@@ -483,6 +483,9 @@ def _kernel_v4(
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (Ns, h_g*RT, W)
+    # ONE transpose into query-major (the per-(h, r) 2-D transpose form
+    # cost 4.5 ms/block at stage 1): rows ordered (h, r, x)
+    bias_qm = jnp.transpose(bias_all, (1, 2, 0)).reshape(h_g * RT * W, Ns)
 
     k = k_ref[0]
     v = v_ref[0]
@@ -498,14 +501,7 @@ def _kernel_v4(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (RT*W, Ns)
-        s3 = s2.reshape(RT, W, Ns)
-        # add the sample-major bias via RT cheap 2-D transposes
-        rows = []
-        for r in range(RT):
-            rows.append(jnp.transpose(bias_all[:, h * RT + r, :]))  # (W, Ns)
-        b3 = jnp.stack(rows, axis=0)  # (RT, W, Ns)
-        s3 = s3 + b3
-        s2 = s3.reshape(RT * W, Ns)
+        s2 = s2 + bias_qm[h * RT * W : (h + 1) * RT * W, :]
 
         # softmax along lanes (the sampled points)
         s2 = s2 - jnp.max(s2, axis=1, keepdims=True)

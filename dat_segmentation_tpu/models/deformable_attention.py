@@ -180,8 +180,10 @@ class DeformableAttention(nn.Module):
             v_g = v.reshape(B, Ns, g, Cg).transpose(0, 2, 1, 3)
             v_g = v_g.reshape(B * g, Ns, Cg)
             interpret = jax.default_backend() != "tpu"
-            # experiment hooks: kernel version / backward implementation
-            version = int(os.environ.get("DAT_TPU_KERNEL_VERSION", "2"))
+            # kernel version: 0 = auto (v3 large-M where W >= 128, v4
+            # query-major at narrow stages) — 214.8 vs v2's 182.3 img/s
+            # at b8 on v5e. Env hooks kept for experiments.
+            version = int(os.environ.get("DAT_TPU_KERNEL_VERSION", "0"))
             fused_bwd = os.environ.get("DAT_TPU_FUSED_BWD", "1") != "0"
             out = fused_deform_attention(
                 q_g, k_g, v_g, pos,

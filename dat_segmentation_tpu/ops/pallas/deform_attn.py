@@ -562,7 +562,17 @@ def fused_deform_attention_v2(
     hc = Cg // h_g
     assert BG % n_groups == 0 and g == n_groups
     if version == 0:  # auto: wide-lane kernel at wide stages, query-major
-        version = 3 if W >= 128 else 4  # at narrow ones
+        # at narrow ones. v4's (RT, W, C) <-> (RT*W, C) collapses are only
+        # a relayout-free shape cast when W is sublane-aligned (W % 8);
+        # otherwise Mosaic rejects them ("unsupported shape cast") — fall
+        # back to the per-row v2 kernel (e.g. 224² classifier stages
+        # 28/14/7).
+        if W >= 128:
+            version = 3
+        elif W % 8 == 0:
+            version = 4
+        else:
+            version = 2
     if version == 3:
         RT, XC = _v3_tiles(H, W, Ns, tw, h_g)
     elif version == 4:

@@ -164,6 +164,11 @@ class DeformableAttention(nn.Module):
             and not (self.dwc_pe or self.fixed_pe or self.log_cpb)
             and not self.no_off
             and (self.attn_drop == 0.0 or deterministic)
+            # Mosaic shape casts ((Ns, RT, t) <-> (Ns*RT, t)) need
+            # sublane-aligned row tiles; 224-input stages (28/14/7) have
+            # no 8-aligned divisor — those run the XLA composite.
+            and H % 8 == 0
+            and W % 8 == 0
         )
         if use_pallas:
             from ..ops.pallas.deform_attn import fused_deform_attention

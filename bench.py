@@ -36,9 +36,10 @@ def _fetch(tree):
 
 
 def bench_train(batch: int = 2, config: str = "upn_tiny_160k_dp03_lr6",
-                remat: bool = False):
+                remat: bool = False, emit: bool = True):
     """Full train step (fwd+bwd+AdamW) images/sec — the reference trains
-    2 imgs/GPU x 8 GPUs (configs/dat/upn_tiny_160k_dp03_lr6.py:65-66)."""
+    2 imgs/GPU x 8 GPUs (configs/dat/upn_tiny_160k_dp03_lr6.py:65-66).
+    Returns img/s; prints the JSON line unless emit=False."""
     import numpy as np
 
     from dat_segmentation_tpu.configs import get_config
@@ -97,14 +98,17 @@ def bench_train(batch: int = 2, config: str = "upn_tiny_160k_dp03_lr6",
         st, m = step(st, b, key)
     _fetch(m["loss"])
     dt = (time.perf_counter() - t0) / iters
-    print(json.dumps({
-        "metric": "train_images_per_sec_per_chip",
-        "value": round(batch / dt, 2),
-        "unit": f"img/s ({config} 512x512 bf16 train step"
-                f"{', remat' if remat else ''})",
-        "vs_baseline": 0.0,
-    }))
-    print(f"# step={dt*1e3:.1f}ms loss={float(m['loss']):.3f}", file=sys.stderr)
+    if emit:
+        print(json.dumps({
+            "metric": "train_images_per_sec_per_chip",
+            "value": round(batch / dt, 2),
+            "unit": f"img/s ({config} 512x512 bf16 train step"
+                    f"{', remat' if remat else ''})",
+            "vs_baseline": 0.0,
+        }))
+    print(f"# train step={dt*1e3:.1f}ms loss={float(m['loss']):.3f}",
+          file=sys.stderr)
+    return batch / dt
 
 
 def bench_cls(batch: int = 64, config: str = "cls_tiny_imagenet"):
@@ -201,6 +205,14 @@ def main():
     achieved_flops = flops * iters / dt if flops else 0.0
     roofline_frac = achieved_flops / V5E_PEAK_FLOPS if flops else 0.0
 
+    # Train throughput in the same emitted line (a training framework's
+    # headline number; the reference trains 2 img/GPU x 8 GPUs).
+    try:
+        train_ips = bench_train(batch=4, emit=False)
+    except Exception as e:  # never let the train leg kill the fwd result
+        print(f"# train bench failed: {e}", file=sys.stderr)
+        train_ips = None
+
     print(
         json.dumps(
             {
@@ -208,6 +220,10 @@ def main():
                 "value": round(ips, 2),
                 "unit": "img/s (DAT-T++ FPN 512x512 bf16 fwd)",
                 "vs_baseline": round(roofline_frac, 4),
+                "train_images_per_sec_per_chip": (
+                    None if train_ips is None else round(train_ips, 2)
+                ),
+                "train_unit": "img/s (upn_tiny 512x512 bf16 train step, b4)",
             }
         )
     )

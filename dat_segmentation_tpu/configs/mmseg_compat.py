@@ -97,11 +97,73 @@ def model_config_from_mmseg(model: Dict[str, Any]) -> ModelConfig:
     )
 
 
-def load_python_config(path: str) -> Dict[str, Any]:
-    """Load a plain-python config module (no _base_ resolution) and return
-    its ``model`` dict — the reference's importlib loader semantics
-    (models/builder.py:14-21)."""
+def _module_dict(path: str):
+    """Exec a config module; return (public top-level names, _base_ list)
+    (the reference's importlib loader semantics, models/builder.py:14-21)."""
     spec = importlib.util.spec_from_file_location("_user_config", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.model
+    cfg = {
+        k: v for k, v in vars(mod).items()
+        if not k.startswith("_") and not callable(v)
+        and not isinstance(v, type(importlib))
+    }
+    return cfg, getattr(mod, "_base_", None)
+
+
+def merge_config_dicts(base: Dict[str, Any], child: Dict[str, Any]) -> Dict[str, Any]:
+    """mmcv Config merge semantics: dicts merge recursively; a child dict
+    carrying ``_delete_=True`` replaces the base value wholesale
+    (reference usage: configs/dat/upn_tiny_160k_dp03_lr6.py:43,50);
+    non-dict values overwrite."""
+    out = dict(base)
+    for k, v in child.items():
+        if (
+            isinstance(v, dict)
+            and isinstance(out.get(k), dict)
+            and not v.get("_delete_", False)
+        ):
+            out[k] = merge_config_dicts(out[k], v)
+        else:
+            if isinstance(v, dict):
+                v = {kk: vv for kk, vv in v.items() if kk != "_delete_"}
+            out[k] = v
+    return out
+
+
+def load_mmseg_config(path: str) -> Dict[str, Any]:
+    """Load an mmseg-style python config WITH ``_base_`` resolution.
+
+    Reference configs are deltas over up to 4 base files
+    (configs/dat/upn_tiny_160k_dp03_lr6.py:1-4: model / dataset / runtime /
+    schedule); bases are resolved relative to the config file, merged in
+    order (later bases overriding earlier on key conflicts, like mmcv),
+    then the child module's own names are merged on top with ``_delete_``
+    honored. Bases may themselves declare ``_base_`` (recursive).
+    """
+    import os
+
+    cfg, bases = _module_dict(path)
+    if not bases:
+        return cfg
+    if isinstance(bases, str):
+        bases = [bases]
+    merged: Dict[str, Any] = {}
+    for rel in bases:
+        base_cfg = load_mmseg_config(
+            os.path.normpath(os.path.join(os.path.dirname(path), rel))
+        )
+        merged = merge_config_dicts(merged, base_cfg)
+    return merge_config_dicts(merged, cfg)
+
+
+def load_python_config(path: str) -> Dict[str, Any]:
+    """Load a python config (resolving ``_base_`` inheritance) and return
+    its ``model`` dict."""
+    cfg = load_mmseg_config(path)
+    if "model" not in cfg:
+        raise KeyError(
+            f"config {path} defines no 'model' dict "
+            f"(after _base_ resolution; keys: {sorted(cfg)})"
+        )
+    return cfg["model"]

@@ -47,8 +47,18 @@ def _reduce_across_processes(iou: StreamingIoU, done: int):
     payload = np.concatenate(
         [counts, np.full((3, 1), done, np.int64)], axis=1
     )
-    stacked = multihost_utils.process_allgather(jnp.asarray(payload))
-    totals = np.asarray(stacked).astype(np.int64).sum(axis=0)
+    # jnp.asarray would silently truncate int64 -> int32 with x64 disabled;
+    # gather the counters as two int32 halves and recombine host-side in
+    # int64 (counts can exceed 2^31 pixels on large evals).
+    lo = (payload & 0x7FFFFFFF).astype(np.int32)
+    hi = (payload >> 31).astype(np.int32)
+    g_lo = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(lo))
+    ).astype(np.int64)
+    g_hi = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(hi))
+    ).astype(np.int64)
+    totals = ((g_hi << 31) + g_lo).sum(axis=0)
     iou.inter, iou.union, iou.area_label = (
         totals[0, :-1], totals[1, :-1], totals[2, :-1],
     )
@@ -138,6 +148,13 @@ def _evaluate_batched(
                 )
 
     batcher = _BucketBatcher(inferencer, batch_size, on_logits)
+    # Each pending image holds a full-res (H, W, C) float32 prob-sum
+    # (~200 MB for a 2048x512 ADE image at 150 classes); under TTA an
+    # image stays pending until its slowest-filling bucket flushes. Bound
+    # host RSS by force-flushing every bucket when too many accumulators
+    # are in flight (partial flushes re-run the same padded shapes, so no
+    # recompiles — just occasional wasted batch slots).
+    max_pending = max(2 * batch_size, 8)
     for idx in indices:
         raw, gt = dataset.load_raw(idx)
         ori = gt.shape
@@ -149,6 +166,8 @@ def _evaluate_batched(
             keep_ratio=keep_ratio,
         ):
             batcher.add(inp, {"idx": idx, "flip": do_flip, "ori": ori})
+        if len(pending) > max_pending:
+            batcher.flush_all()
     batcher.flush_all()
     assert not pending, f"{len(pending)} images never finalized"
     return done[0]

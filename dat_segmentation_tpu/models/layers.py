@@ -61,6 +61,42 @@ def gelu(x: jax.Array) -> jax.Array:
     return nn.gelu(x, approximate=False)
 
 
+class _DepthwiseShiftConv(nn.Module):
+    """Depthwise conv as k*k shifted multiply-adds (stride 1).
+
+    XLA lowers ``conv_general_dilated`` with ``feature_group_count=C`` to
+    1-channel-per-group MXU work that wastes almost the whole systolic
+    array; expressed as shifted elementwise FMAs it becomes one fused
+    VPU loop over a padded input — the op is bandwidth-bound either way,
+    but this form reads/writes each activation once. Parameters are laid
+    out exactly like ``nn.Conv(feature_group_count=C)`` — kernel
+    (kh, kw, 1, C), bias (C,) — so checkpoint trees are unchanged.
+    """
+
+    kernel: int
+    padding: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, pad = self.kernel, self.padding
+        C = x.shape[-1]
+        w = self.param("kernel", torch_conv_kernel_init, (k, k, 1, C))
+        w = w.astype(x.dtype)
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        H = x.shape[1] + 2 * pad - (k - 1)
+        W = x.shape[2] + 2 * pad - (k - 1)
+        out = None
+        for di in range(k):
+            for dj in range(k):
+                term = xp[:, di : di + H, dj : dj + W, :] * w[di, dj, 0]
+                out = term if out is None else out + term
+        if self.use_bias:
+            b = self.param("bias", torch_bias_init(k * k), (C,))
+            out = out + b.astype(x.dtype)
+        return out
+
+
 def conv2d(
     x: jax.Array,
     features: int,
@@ -77,9 +113,23 @@ def conv2d(
     A helper (not a module) so the parameters land flat under ``name`` in
     the caller's scope — keeps checkpoint trees 1:1 with torch state_dicts.
     ``groups=features`` gives a depthwise conv; ``kernel=1`` is an MXU matmul.
+    Stride-1 depthwise convs route to the shift-FMA form (see
+    ``_DepthwiseShiftConv``); set DAT_TPU_DWCONV=conv to force the XLA
+    grouped-conv lowering.
     """
     in_c = x.shape[-1]
     fan_in = kernel * kernel * (in_c // groups)
+    import os
+
+    if (
+        groups == features == in_c
+        and stride == 1
+        and padding == kernel // 2
+        and os.environ.get("DAT_TPU_DWCONV", "shift") != "conv"
+    ):
+        return _DepthwiseShiftConv(
+            kernel=kernel, padding=padding, use_bias=use_bias, name=name
+        )(x)
     return nn.Conv(
         features=features,
         kernel_size=(kernel, kernel),

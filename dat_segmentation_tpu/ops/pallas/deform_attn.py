@@ -198,6 +198,8 @@ def _kernel_v2(
     th: int,
     tw: int,
     scale: float,
+    Hn: int,  # TRUE (unpadded) sizes for coordinate normalization —
+    Wn: int,  # H/W may be zero-padded up to sublane multiples (28->32 &c)
     nobias: bool = False,  # debug: skip the RPE-bias path entirely
 ):
     """Full-row-width kernel: every matmul keeps >=W lanes busy.

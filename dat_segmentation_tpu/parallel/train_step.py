@@ -173,6 +173,41 @@ def make_train_step(
     )
 
 
+def make_cls_metric_step(model, mesh: Mesh, *, compute_dtype=jnp.bfloat16):
+    """Jitted sharded forward + top-1/5 hit counters, replicated output.
+
+    Multi-host safe (unlike fetching sharded logits to the host): the
+    whole metric — argmax/top-5 vs labels, masked by ``valid`` for padded
+    tail entries — reduces to three scalars inside the XLA program, so
+    GSPMD inserts the cross-device reduction and every process receives
+    identical GLOBAL [hits1, hits5, total] (reference analog: the NCCL
+    metric all_reduce at train_backbone.py:161-164).
+    """
+
+    def fwd(params, batch_stats, image, label, valid):
+        variables = {"params": _cast(params, compute_dtype)}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits = model.apply(
+            variables, image.astype(compute_dtype), train=False
+        ).astype(jnp.float32)
+        k = min(5, logits.shape[-1])
+        _, top5 = jax.lax.top_k(logits, k)
+        hit1 = (jnp.argmax(logits, -1) == label) & valid
+        hit5 = (top5 == label[:, None]).any(-1) & valid
+        return jnp.stack([
+            hit1.sum().astype(jnp.int32),
+            hit5.sum().astype(jnp.int32),
+            valid.sum().astype(jnp.int32),
+        ])
+
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        fwd, in_shardings=(None, None, data, data, data), out_shardings=repl
+    )
+
+
 def make_eval_step(model, mesh: Mesh, *, compute_dtype=jnp.bfloat16):
     """Jitted sharded forward returning logits (eval/TTA building block)."""
 

@@ -50,6 +50,40 @@ def intersect_and_union(
     return inter, union, area_pred, area_label
 
 
+def intersect_and_union_np(
+    pred: np.ndarray,
+    label: np.ndarray,
+    num_classes: int,
+    *,
+    ignore_index: int = 255,
+    valid_mask: np.ndarray | None = None,
+):
+    """numpy twin of :func:`intersect_and_union` for host arrays.
+
+    Eval loops feed host predictions/GT one image at a time; dispatching a
+    tiny device program per image costs more in transfer/dispatch overhead
+    than the bincount itself (especially through a remote-device tunnel),
+    so the host path stays in numpy end to end.
+    """
+    pred = np.asarray(pred).reshape(-1)
+    label = np.asarray(label).reshape(-1)
+    valid = label != ignore_index
+    if valid_mask is not None:
+        valid = valid & np.asarray(valid_mask).reshape(-1)
+    pred = np.where(valid, pred, num_classes)
+    label = np.where(valid, label, num_classes)
+    match = np.where(pred == label, pred, num_classes)
+
+    def hist(x):
+        return np.bincount(x, minlength=num_classes + 1)[:num_classes]
+
+    inter = hist(match)
+    area_pred = hist(pred)
+    area_label = hist(label)
+    union = area_pred + area_label - inter
+    return inter, union, area_pred, area_label
+
+
 def miou_from_totals(inter, union, *, eps: float = 1e-10):
     """Mean IoU over classes that appear (union > 0), like mmseg nanmean."""
     inter = np.asarray(inter, np.float64)
@@ -76,13 +110,25 @@ class StreamingIoU:
         self.area_label = np.zeros(self.num_classes, np.int64)
 
     def update(self, pred, label, valid_mask=None):
-        i, u, _, al = intersect_and_union(
-            jnp.asarray(pred),
-            jnp.asarray(label),
-            self.num_classes,
-            ignore_index=self.ignore_index,
-            valid_mask=None if valid_mask is None else jnp.asarray(valid_mask),
-        )
+        # Host arrays take the pure-numpy path: zero device dispatches per
+        # eval image (per-image device programs are dominated by dispatch
+        # + transfer overhead). Device arrays keep the jnp path so counts
+        # accumulated inside jit stay on device.
+        if isinstance(pred, jax.Array) or isinstance(label, jax.Array):
+            i, u, _, al = intersect_and_union(
+                jnp.asarray(pred),
+                jnp.asarray(label),
+                self.num_classes,
+                ignore_index=self.ignore_index,
+                valid_mask=(
+                    None if valid_mask is None else jnp.asarray(valid_mask)
+                ),
+            )
+        else:
+            i, u, _, al = intersect_and_union_np(
+                pred, label, self.num_classes,
+                ignore_index=self.ignore_index, valid_mask=valid_mask,
+            )
         self.inter += np.asarray(i, np.int64)
         self.union += np.asarray(u, np.int64)
         self.area_label += np.asarray(al, np.int64)

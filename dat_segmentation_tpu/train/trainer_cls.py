@@ -27,12 +27,12 @@ from ..models import build_model
 from ..parallel import (
     TrainState,
     create_train_state,
-    make_eval_step,
+    make_cls_metric_step,
     make_mesh,
     make_train_step,
 )
 from ..parallel.mesh import local_batch_size, process_shard_info, shard_batch
-from ..utils.logging import MetricLogger, weight_stats
+from ..utils.logging import MetricLogger, is_main_process, weight_stats
 from .checkpoint import CheckpointManager, load_pretrained, merge_pretrained, save_backbone_only
 from .optim import make_optimizer
 from .trainer_seg import build_schedule
@@ -115,7 +115,7 @@ def train_classifier(
         compute_dtype=compute_dtype,
         mixup=mixup,
     )
-    eval_fn = make_eval_step(model, mesh, compute_dtype=compute_dtype)
+    eval_fn = make_cls_metric_step(model, mesh, compute_dtype=compute_dtype)
     rng = jax.random.PRNGKey(cfg.seed + 1)
 
     best_acc = -1.0
@@ -161,14 +161,19 @@ def train_classifier(
 
         # ---- validation (top-1/5; train_backbone.py:145-170) -----------
         # Every val image counts: the tail batch is padded up to the
-        # static batch size and the padding masked out of the metrics
-        # (drop_last would silently skip up to batch_size-1 images).
+        # static batch size and masked via ``valid``. Counters are
+        # computed INSIDE the jitted step with a replicated output, so
+        # multi-host runs never fetch a cross-process sharded array and
+        # every process already holds the GLOBAL sums (the DataLoader
+        # pads shards to equal length, so all processes run the same
+        # number of eval_fn calls — no unmatched collectives).
         val_loader = DataLoader(
             val_ds, local_bs, drop_last=False, shard_info=shard,
         )
         hits1 = hits5 = total = 0
         for batch in val_loader:
             n = int(batch["label"].shape[0])
+            valid = np.arange(local_bs) < n
             if n < local_bs:
                 pad = local_bs - n
                 batch = {
@@ -182,29 +187,27 @@ def train_classifier(
                          np.zeros((pad,), batch["label"].dtype)]
                     ),
                 }
-            sb = shard_batch(mesh, batch)
-            logits = eval_fn(state.params, state.batch_stats, sb["image"])
-            lg = np.asarray(jax.device_get(logits))[:n]
-            lab = np.asarray(batch["label"])[:n]
-            k5 = min(5, lg.shape[-1] - 1)
-            top5 = np.argpartition(-lg, k5, axis=-1)[:, :5]
-            hits1 += int((np.argmax(lg, axis=-1) == lab).sum())
-            hits5 += int((top5 == lab[:, None]).any(axis=-1).sum())
-            total += n
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            sums = multihost_utils.process_allgather(
-                jnp.array([hits1, hits5, total])
+            sb = shard_batch(
+                mesh,
+                {"image": batch["image"],
+                 "label": batch["label"].astype(np.int32),
+                 "valid": valid},
             )
-            hits1, hits5, total = (int(v) for v in np.asarray(sums).sum(0))
+            counts = np.asarray(jax.device_get(eval_fn(
+                state.params, state.batch_stats,
+                sb["image"], sb["label"], sb["valid"],
+            )))
+            hits1 += int(counts[0])
+            hits5 += int(counts[1])
+            total += int(counts[2])
         acc1 = hits1 / max(total, 1)
         acc5 = hits5 / max(total, 1)
         history["val_acc1"].append(acc1)
         history["val_acc5"].append(acc5)
         logger.log(f"epoch {epoch} val acc1={acc1*100:.2f} acc5={acc5*100:.2f}")
 
-        if (epoch + 1) % 10 == 0 or epoch == n_epochs - 1:
+        # rank-0-only checkpoint writes (reference train_backbone.py:303-331)
+        if ((epoch + 1) % 10 == 0 or epoch == n_epochs - 1) and is_main_process():
             ckpt.save(
                 epoch + 1,
                 {
@@ -217,6 +220,8 @@ def train_classifier(
             )
         if acc1 > best_acc:
             best_acc = acc1
+            if not is_main_process():
+                continue
             ckpt.save(
                 "best",
                 {"params": jax.device_get(state.params),

@@ -32,7 +32,7 @@ from ..parallel import (
     make_train_step,
 )
 from ..parallel.mesh import local_batch_size, process_shard_info, shard_batch
-from ..utils.logging import MetricLogger
+from ..utils.logging import MetricLogger, is_main_process
 from .checkpoint import CheckpointManager, load_pretrained, merge_pretrained
 from .metrics import StreamingIoU
 from .optim import make_optimizer
@@ -215,7 +215,9 @@ def train_segmentation(
             train_iou.reset()
             t0 = time.time()
 
-        if it % cfg.checkpoint_interval == 0:
+        # checkpoint writes are rank-0 only (reference: rank-0 torch.save,
+        # new_train.py:228-238); params are replicated so rank 0 holds all
+        if it % cfg.checkpoint_interval == 0 and is_main_process():
             ckpt.save(
                 it,
                 {
@@ -254,13 +256,19 @@ def train_segmentation(
             logger.log(f"iter {it} val mIoU={miou*100:.2f}")
             if miou > best_miou:
                 best_miou = miou
-                ckpt.save(
-                    "best",
-                    {"params": jax.device_get(state.params),
-                     "batch_stats": jax.device_get(state.batch_stats)},
-                    metadata=dict(
-                        {"iter": it, "mIoU": miou},
-                        **_dataset_meta(train_ds),
-                    ),
-                )
+                if is_main_process():
+                    ckpt.save(
+                        "best",
+                        {"params": jax.device_get(state.params),
+                         "batch_stats": jax.device_get(state.batch_stats)},
+                        metadata=dict(
+                            {"iter": it, "mIoU": miou},
+                            **_dataset_meta(train_ds),
+                        ),
+                    )
+    # fold counters still pending on device so the reported running train
+    # mIoU covers every iteration, not just full log_interval windows
+    if acc_inter is not None:
+        train_iou.inter += np.asarray(acc_inter, np.int64)
+        train_iou.union += np.asarray(acc_union, np.int64)
     return state, history

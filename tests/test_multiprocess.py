@@ -29,6 +29,78 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
+def test_two_process_trainer_soak(tmp_path):
+    """Full train->eval cycle through trainer_seg on 2 processes: same
+    loss trajectory as single-process (same global batches on the same
+    4-device mesh), identical eval mIoU via the in-run distributed
+    reduction, and checkpoints written by rank 0 only."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    # tiny ADE-layout dataset (mirrors test_trainers._seg_data)
+    root = tmp_path / "data"
+    for split, cnt in (("training", 6), ("validation", 2)):
+        img_dir = root / "images" / split
+        ann_dir = root / "annotations" / split
+        img_dir.mkdir(parents=True)
+        ann_dir.mkdir(parents=True)
+        for i in range(cnt):
+            rs = np.random.RandomState(hash(split) % 1000 + i)
+            cv2.imwrite(str(img_dir / f"{split}_{i}.jpg"),
+                        rs.randint(0, 255, (70, 90, 3), np.uint8))
+            cv2.imwrite(str(ann_dir / f"{split}_{i}.png"),
+                        rs.randint(1, 11, (70, 90)).astype(np.uint8))
+
+    worker = Path(__file__).parent / "multiprocess_train_worker.py"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = str(worker.parent.parent) + os.pathsep + env.get(
+        "PYTHONPATH", ""
+    )
+
+    def run(num_procs, work_dir):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), str(num_procs),
+                 str(port), str(root), str(work_dir)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                env=env, text=True,
+            )
+            for i in range(num_procs)
+        ]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=570)
+            assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
+            lines = [
+                ln for ln in out.strip().splitlines()
+                if ln.startswith('{"proc"')
+            ]
+            assert lines, f"no result line:\n{out[-2000:]}\n{err[-2000:]}"
+            outs.append(json.loads(lines[-1]))
+        return outs
+
+    single = run(1, tmp_path / "work1")[0]
+    duo = run(2, tmp_path / "work2")
+
+    assert len(single["losses"]) == 6
+    # both ranks observed the identical (globally-reduced) trajectory
+    assert duo[0]["losses"] == duo[1]["losses"]
+    assert duo[0]["val_miou"] == duo[1]["val_miou"]
+    # same global batches => same losses up to reduction-order float noise
+    np.testing.assert_allclose(
+        single["losses"], duo[0]["losses"], rtol=2e-4, atol=1e-5
+    )
+    # integer IoU counters reduce exactly
+    np.testing.assert_allclose(
+        single["val_miou"], duo[0]["val_miou"], rtol=1e-6
+    )
+    # rank 0 wrote the checkpoints; the run produced the expected set
+    assert "ckpt_3" in duo[0]["ckpts"] and "ckpt_6" in duo[0]["ckpts"]
+
+
 def test_two_process_data_parallel_contract():
     worker = Path(__file__).parent / "multiprocess_worker.py"
     port = _free_port()

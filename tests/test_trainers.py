@@ -208,21 +208,28 @@ def test_classifier_val_counts_every_image(tmp_path):
             "mesh_shape": {"data": 4},
         },
     )
-    seen = {}
-    orig_topk = np.argpartition
+    totals = []
+    orig_step = trainer_cls.make_cls_metric_step
 
-    def spy_argpartition(a, kth, **kw):
-        seen["rows"] = seen.get("rows", 0) + a.shape[0]
-        return orig_topk(a, kth, **kw)
+    def spy_step(*a, **kw):
+        fn = orig_step(*a, **kw)
 
-    np.argpartition = spy_argpartition
+        def wrapped(*args):
+            out = fn(*args)
+            totals.append(int(np.asarray(jax.device_get(out))[2]))
+            return out
+
+        return wrapped
+
+    trainer_cls.make_cls_metric_step = spy_step
     try:
         trainer_cls.train_classifier(cfg, epochs=1, steps_per_epoch=1,
                                      mixup=False)
     finally:
-        np.argpartition = orig_topk
+        trainer_cls.make_cls_metric_step = orig_step
     # all 9 val images scored (3 batches of 4 padded, masked to 4+4+1)
-    assert seen["rows"] == 9
+    assert len(totals) == 3
+    assert sum(totals) == 9
 
 
 def test_mixup_cutmix_properties():

@@ -80,7 +80,14 @@ class SegInferencer:
         mode: str = "whole",
         crop_size: Tuple[int, int] = (512, 512),
         stride: Tuple[int, int] = (341, 341),
-        bucket: int = 128,
+        # mmseg whole mode runs the EXACT resized shape (no Pad in the
+        # reference test pipeline); padding exists here only to bound the
+        # number of compiled programs. 32 = backbone stride = smallest
+        # legal pad (measured argmax deviation vs exact on random weights:
+        # ~0.7-1.3% of pixels, vs ~1.0-1.5% at bucket 128 —
+        # tools/bench_pad_deviation.py). bucket=1 gives exact unpadded
+        # mmseg semantics at one compile per distinct shape.
+        bucket: int = 32,
         compute_dtype=jnp.bfloat16,
         align_corners: bool = False,
         transfer_dtype=jnp.float16,

@@ -164,11 +164,6 @@ class DeformableAttention(nn.Module):
             and not (self.dwc_pe or self.fixed_pe or self.log_cpb)
             and not self.no_off
             and (self.attn_drop == 0.0 or deterministic)
-            # Mosaic shape casts ((Ns, RT, t) <-> (Ns*RT, t)) need
-            # sublane-aligned row tiles; 224-input stages (28/14/7) have
-            # no 8-aligned divisor — those run the XLA composite.
-            and H % 8 == 0
-            and W % 8 == 0
         )
         if use_pallas:
             from ..ops.pallas.deform_attn import fused_deform_attention
@@ -180,6 +175,21 @@ class DeformableAttention(nn.Module):
             )
             q_g = q.reshape(B, H, W, g, Cg).transpose(0, 3, 1, 2, 4)
             q_g = q_g.reshape(B * g, H, W, Cg)
+            # Mosaic's (RT, W, C) <-> (RT*W, C) shape casts need
+            # sublane-aligned spatial dims; 224-input stages (28/14/7)
+            # have none, so queries are zero-padded up to the next
+            # 8-multiple. Each query attends over the same Ns samples
+            # independently, so padded rows just produce garbage output
+            # that the slice below discards (their cotangents are zero in
+            # backward); the kernel normalizes coordinates by the TRUE
+            # H/W passed as hn/wn.
+            Hp, Wp = -(-H // 8) * 8, -(-W // 8) * 8
+            hn = wn = 0
+            if (Hp, Wp) != (H, W):
+                q_g = jnp.pad(
+                    q_g, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0))
+                )
+                hn, wn = H, W
             k_g = k.reshape(B, Ns, g, Cg).transpose(0, 2, 1, 3)
             k_g = k_g.reshape(B * g, Ns, Cg)
             v_g = v.reshape(B, Ns, g, Cg).transpose(0, 2, 1, 3)
@@ -193,8 +203,9 @@ class DeformableAttention(nn.Module):
             out = fused_deform_attention(
                 q_g, k_g, v_g, pos,
                 table.reshape(g, h_g, th, tw),
-                g, scale, interpret, version, fused_bwd,
+                g, scale, interpret, version, fused_bwd, hn, wn,
             )
+            out = out[:, :H, :W]
             out = out.reshape(B, g, H, W, Cg).transpose(0, 2, 3, 1, 4)
             out = out.reshape(B, H, W, C)
             y = dense(out, C, name="proj_out")

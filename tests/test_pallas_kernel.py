@@ -79,6 +79,120 @@ def test_fused_backward_matches_xla_vjp(shape):
         )
 
 
+@pytest.mark.parametrize("hw", [(28, 28), (14, 14), (7, 7), (28, 14)])
+def test_fused_kernel_padded_shapes(hw):
+    """Non-8-aligned (224-classifier) shapes: queries zero-padded to the
+    next 8-multiple with true-size coordinate normalization must match
+    the unpadded composite exactly on the real rows."""
+    H, W = hw
+    q, k, v, pos, table = _inputs(H=H, W=W, Ns=16)
+    g = table.shape[0]
+    scale = (q.shape[-1] // table.shape[1]) ** -0.5
+    ref = _xla_reference(q, k, v, pos, table, n_groups=g, scale=scale)
+    Hp, Wp = -(-H // 8) * 8, -(-W // 8) * 8
+    qp = jnp.pad(q, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+    got = fused_deform_attention(
+        qp, k, v, pos, table, g, scale, True, 0, True, H, W
+    )[:, :H, :W]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("layout", ["v2", "v4"])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        dict(B=2, g=1, h_g=2, hc=4, H=8, W=8, Ns=4, th=15, tw=15),
+        dict(B=1, g=2, h_g=2, hc=4, H=8, W=16, Ns=9, th=15, tw=15),
+    ],
+)
+def test_fused_backward_layouts_match_xla_vjp(shape, layout, monkeypatch):
+    """Both backward layouts (sample-major v2, query-major v4) emit
+    gradients matching the composite's autodiff."""
+    monkeypatch.setenv("DAT_TPU_BWD_LAYOUT", layout)
+    q, k, v, pos, table = _inputs(**shape)
+    g = table.shape[0]
+    scale = (q.shape[-1] // table.shape[1]) ** -0.5
+    dout = jnp.asarray(
+        np.random.RandomState(11).randn(*q.shape).astype(np.float32)
+    )
+    _, vjp_f = jax.vjp(
+        lambda *a: fused_deform_attention(*a, g, scale, True, 2, True),
+        q, k, v, pos, table,
+    )
+    _, vjp_x = jax.vjp(
+        lambda *a: _xla_reference(*a, n_groups=g, scale=scale),
+        q, k, v, pos, table,
+    )
+    for name, a, b in zip(
+        ("dq", "dk", "dv", "dpos", "dtable"), vjp_f(dout), vjp_x(dout)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=f"{layout}:{name}",
+        )
+
+
+def test_fused_backward_padded_shapes():
+    """Fused backward through padded queries: zero cotangents on pad rows
+    must leave every gradient identical to the unpadded composite."""
+    H, W = 14, 14
+    q, k, v, pos, table = _inputs(H=H, W=W, Ns=16)
+    g = table.shape[0]
+    scale = (q.shape[-1] // table.shape[1]) ** -0.5
+    Hp, Wp = 16, 16
+
+    def fused_sliced(q_, k_, v_, pos_, tbl_):
+        qp = jnp.pad(q_, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+        out = fused_deform_attention(
+            qp, k_, v_, pos_, tbl_, g, scale, True, 0, True, H, W
+        )
+        return out[:, :H, :W]
+
+    dout = jnp.asarray(
+        np.random.RandomState(13).randn(*q.shape).astype(np.float32)
+    )
+    _, vjp_f = jax.vjp(fused_sliced, q, k, v, pos, table)
+    _, vjp_x = jax.vjp(
+        lambda *a: _xla_reference(*a, n_groups=g, scale=scale),
+        q, k, v, pos, table,
+    )
+    for name, a, b in zip(
+        ("dq", "dk", "dv", "dpos", "dtable"), vjp_f(dout), vjp_x(dout)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )
+
+
+def test_module_pallas_pads_nonaligned_input():
+    """DeformableAttention on a 28x28 feature map (224-classifier stage)
+    runs the kernel via pad-to-8 and matches the XLA path."""
+    from dat_segmentation_tpu.models.deformable_attention import (
+        DeformableAttention,
+    )
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 28, 28, 32).astype(np.float32))
+
+    def build(impl):
+        return DeformableAttention(
+            dim=32, n_heads=4, n_groups=2, stride=2, ksize=5,
+            q_size=(28, 28), offset_range_factor=-1.0, use_pe=True,
+            kernel_impl=impl,
+        )
+
+    m_xla = build("xla")
+    variables = m_xla.init(jax.random.PRNGKey(0), x)
+    ref = m_xla.apply(variables, x)
+    got = build("pallas").apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_fused_kernel_gradients_flow():
     """custom_vjp backward produces grads matching the composite's."""
     q, k, v, pos, table = _inputs(B=1, g=1, h_g=2, hc=8, H=8, W=8, Ns=9,

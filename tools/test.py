@@ -38,6 +38,11 @@ def parse_args():
                    help="evaluate a shard (merge with merge_shard_results)")
     p.add_argument("--batch-size", type=int, default=4,
                    help="bucket-batched whole-mode eval batch (1 = per-image)")
+    p.add_argument("--pad-bucket", type=int, default=32,
+                   help="whole-mode pad-to multiple. 32 (backbone stride) "
+                        "is the smallest pad that bounds compile count; 1 "
+                        "= mmseg-exact unpadded semantics (one compile per "
+                        "distinct val shape — use for final parity runs)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host run: jax.distributed.initialize(), "
                         "shard by process, reduce counters in-run "
@@ -95,6 +100,7 @@ def main():
         mode=args.mode or cfg.model.test_mode,
         crop_size=cfg.model.crop_size,
         stride=cfg.model.slide_stride,
+        bucket=args.pad_bucket,
     )
     ds = ADE20KDataset(args.data_root, "val")
     shard_info = None

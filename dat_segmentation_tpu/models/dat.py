@@ -32,8 +32,11 @@ from .deformable_attention import DeformableAttention
 from .layers import (
     CmtConvMlp,
     ConvMlp,
+    ConvMlpParams,
+    ConvParams,
     DropPath,
     LayerNorm2d,
+    LayerNormParams,
     LayerScale,
     Mlp,
     conv2d,
@@ -83,10 +86,30 @@ class TransformerStage(nn.Module):
         else:
             mlp_cls = Mlp
 
+        import os
+
+        H, W = x.shape[1], x.shape[2]
+        impl = self.kernel_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # Fused X-block Pallas kernel (LPU + window dwconv + LN + ConvMLP
+        # in one VMEM-resident program — the unfused chain round-trips
+        # ~26 activation tensors through HBM per block and was the
+        # forward-time floor). Same parameter tree as the unfused path.
+        fuse_x = (
+            impl == "pallas"
+            and self.use_dwc_mlp
+            and not self.use_cmt_mlp
+            and (self.drop == 0.0 or deterministic)
+            and H % 8 == 0
+            and W % 8 == 0
+            and os.environ.get("DAT_TPU_XBLOCK", "pallas") != "xla"
+        )
+
         for d in range(self.depths):
             spec = self.stage_spec[d]
 
-            if self.use_lpu:
+            if self.use_lpu and not (fuse_x and spec == "X"):
                 x = x + conv2d(
                     x, dim, 3, padding=1, groups=dim, name=f"lpu_{d}"
                 )
@@ -96,7 +119,30 @@ class TransformerStage(nn.Module):
             if mlp_cls is CmtConvMlp:
                 mlp_kwargs["train"] = train
 
-            if spec == "X":
+            if spec == "X" and fuse_x:
+                from ..ops.pallas.x_block import fused_x_block
+
+                if self.use_lpu:
+                    w3, b3 = ConvParams(
+                        dim, 3, dim, groups=dim, name=f"lpu_{d}"
+                    )()
+                else:
+                    w3 = b3 = None
+                w7, b7 = ConvParams(
+                    dim, self.window_size, dim, groups=dim,
+                    name=f"conv_attn_{d}",
+                )()
+                g_ln, b_ln = LayerNormParams(dim, name=f"ln_cnvnxt_{d}")()
+                (wf1, bf1), (wd, bd), (wf2, bf2) = ConvMlpParams(
+                    dim, self.expansion, name=f"mlp_{d}"
+                )()
+                y = fused_x_block(
+                    x, w3, b3, w7, b7, g_ln, b_ln, wf1, bf1, wd, bd,
+                    wf2, bf2, self.window_size, self.use_lpu,
+                    jax.default_backend() != "tpu",
+                )
+                x = dp(y, deterministic=deterministic)
+            elif spec == "X":
                 # ConvNeXt-ish block; deliberately no residual (see header).
                 y = conv2d(
                     x, dim, self.window_size,

@@ -156,6 +156,75 @@ def dense(
     )(x)
 
 
+class ConvParams(nn.Module):
+    """Declares an ``nn.Conv``-compatible parameter pair (kernel HWIO,
+    bias) WITHOUT running the conv — used by fused Pallas paths that need
+    raw weights while keeping the checkpoint tree identical to the
+    unfused modules."""
+
+    features: int
+    kernel: int
+    in_features: int
+    groups: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel
+        ic = self.in_features // self.groups
+        fan_in = k * k * ic
+        w = self.param("kernel", torch_conv_kernel_init, (k, k, ic, self.features))
+        b = (
+            self.param("bias", torch_bias_init(fan_in), (self.features,))
+            if self.use_bias
+            else None
+        )
+        return w, b
+
+
+class DenseParams(nn.Module):
+    """``nn.Dense``-compatible parameter pair (see ConvParams)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param(
+            "kernel", torch_dense_kernel_init, (self.in_features, self.features)
+        )
+        b = self.param("bias", torch_bias_init(self.in_features), (self.features,))
+        return w, b
+
+
+class LayerNormParams(nn.Module):
+    """``LayerNorm2d``-compatible (scale, bias) declaration."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
+class ConvMlpParams(nn.Module):
+    """``ConvMlp``-compatible parameter tree (fc1 / dwc / fc2)."""
+
+    dim: int
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self):
+        hidden = self.dim * self.expansion
+        fc1 = DenseParams(hidden, self.dim, name="fc1")()
+        dwc = ConvParams(hidden, 3, hidden, groups=hidden, name="dwc")()
+        fc2 = DenseParams(self.dim, hidden, name="fc2")()
+        return fc1, dwc, fc2
+
+
 class LayerNorm2d(nn.Module):
     """LayerNorm over the channel axis of an NHWC tensor.
 

@@ -36,6 +36,24 @@ def surgery(cfg, variant):
         b = dataclasses.replace(
             b, stage_spec=tuple(tuple("X" for _ in s) for s in b.stage_spec)
         )
+    elif variant == "allx_plainmlp":  # allx minus the 3x3 dwc in ConvMLP
+        b = dataclasses.replace(
+            b,
+            stage_spec=tuple(tuple("X" for _ in s) for s in b.stage_spec),
+            use_dwc_mlps=(False,) * 4,
+        )
+    elif variant == "allx_nolpu":  # allx minus the per-block LPU dwconv
+        b = dataclasses.replace(
+            b,
+            stage_spec=tuple(tuple("X" for _ in s) for s in b.stage_spec),
+            use_lpus=(False,) * 4,
+        )
+    elif variant == "allx_conv1":  # X-block window conv k=7 -> k=1
+        b = dataclasses.replace(
+            b,
+            stage_spec=tuple(tuple("X" for _ in s) for s in b.stage_spec),
+            window_sizes=(1, 1, 1, 1),
+        )
     elif variant == "nope":
         b = dataclasses.replace(b, use_pes=(False,) * 4)
     elif variant == "nolpu":

@@ -131,7 +131,11 @@ class DataConfig:
     cat_max_ratio: float = 0.75
     ignore_index: int = 255
     batch_size: int = 16  # global (reference: 2 imgs/GPU x 8 GPUs)
-    num_workers: int = 8
+    # 0 = auto-size to the host: min(32, cpu_count) threads, matching the
+    # reference's workers=32 on real TPU-VM hosts (100+ cores) while not
+    # oversubscribing small ones (aug throughput scales linearly with
+    # threads until cores saturate — tools/bench_data.py)
+    num_workers: int = 0
     reduce_zero_label: bool = True
 
 

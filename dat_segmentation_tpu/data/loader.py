@@ -35,7 +35,7 @@ class DataLoader:
         *,
         shuffle: bool = False,
         drop_last: bool = False,
-        num_threads: int = 4,
+        num_threads: int = 0,
         seed: int = 0,
         shard_info: Optional[tuple] = None,
         infinite: bool = False,
@@ -44,6 +44,10 @@ class DataLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        if not num_threads:  # auto-size to the host (reference workers=32)
+            import os
+
+            num_threads = min(32, os.cpu_count() or 4)
         self.num_threads = num_threads
         self.seed = seed
         self.shard_info = shard_info or (0, 1)

@@ -177,10 +177,23 @@ class TransformerStage(nn.Module):
                 if self.layer_scale_value > 0:
                     y = LayerScale(self.layer_scale_value, name=f"ls1_{d}")(y)
                 x = dp(y, deterministic=deterministic) + x
-                y = LayerNorm2d(name=f"norm2_{d}")(x)
-                y = mlp_cls(
-                    self.expansion, self.drop, name=f"mlp_{d}"
-                )(y, **mlp_kwargs)
+                if fuse_x:
+                    # same fused kernel, MLP-only mode (in-kernel LN)
+                    from ..ops.pallas.x_block import fused_conv_mlp
+
+                    g_ln, b_ln = LayerNormParams(dim, name=f"norm2_{d}")()
+                    (wf1, bf1), (wd, bd), (wf2, bf2) = ConvMlpParams(
+                        dim, self.expansion, name=f"mlp_{d}"
+                    )()
+                    y = fused_conv_mlp(
+                        x, g_ln, b_ln, wf1, bf1, wd, bd, wf2, bf2,
+                        jax.default_backend() != "tpu",
+                    )
+                else:
+                    y = LayerNorm2d(name=f"norm2_{d}")(x)
+                    y = mlp_cls(
+                        self.expansion, self.drop, name=f"mlp_{d}"
+                    )(y, **mlp_kwargs)
                 if self.layer_scale_value > 0:
                     y = LayerScale(self.layer_scale_value, name=f"ls2_{d}")(y)
                 x = dp(y, deterministic=deterministic) + x

@@ -39,6 +39,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf, |err| <= 1.5e-7 in f32.
+
+    Mosaic has no erf primitive; at bf16 activation precision (~3e-3
+    relative) this is indistinguishable from exact erf, so the GELU
+    stays torch-parity 'exact' (the tanh approximation drifts ~1e-3 and
+    compounds over blocks — CLAUDE.md parity trap)."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.where(x >= 0, y, -y)
+
+
 def _roll_cols(x, dj):
     """Shift columns left by dj (axis 1 of a rank-3 (R, W, C) value).
     Wrapped garbage lands in the last dj columns, which callers slice or
@@ -150,7 +168,7 @@ def _x_block_kernel(
 
     # exact-erf GELU (tanh approximation drifts vs the torch reference)
     hc32 = hc.astype(jnp.float32)
-    hc = (hc32 * 0.5 * (1.0 + jax.lax.erf(hc32 * (2.0 ** -0.5)))).astype(wdt)
+    hc = (hc32 * 0.5 * (1.0 + _erf(hc32 * (2.0 ** -0.5)))).astype(wdt)
 
     # fc2 (MXU)
     out2 = jax.lax.dot_general(
@@ -299,6 +317,21 @@ def fused_x_block(x, w3, b3, w7, b7, g, be, wf1, bf1, wd, bd, wf2, bf2,
     """
     return _fwd_pallas(x, w3, b3, w7, b7, g, be, wf1, bf1, wd, bd, wf2,
                        bf2, k, with_lpu, interpret)
+
+
+def fused_conv_mlp(x, g, be, wf1, bf1, wd, bd, wf2, bf2,
+                   interpret=False):
+    """Fused LN -> fc1 -> residual dwc3 -> gelu -> fc2 (the 'D'-block MLP
+    half, reference dat.py:150-153 + TransformerMLPWithConv). Same kernel
+    as the X block with a k=1 identity window conv; the pre-MLP LayerNorm
+    runs in-kernel. The caller applies LayerScale/DropPath/residual."""
+    C = x.shape[-1]
+    ones = jnp.ones((1, 1, 1, C), jnp.float32)
+    zeros = jnp.zeros((C,), jnp.float32)
+    return fused_x_block(
+        x, None, None, ones, zeros, g, be, wf1, bf1, wd, bd, wf2, bf2,
+        1, False, interpret,
+    )
 
 
 def _fxb_fwd(x, w3, b3, w7, b7, g, be, wf1, bf1, wd, bd, wf2, bf2,

@@ -93,9 +93,12 @@ class TransformerStage(nn.Module):
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         # Fused X-block Pallas kernel (LPU + window dwconv + LN + ConvMLP
-        # in one VMEM-resident program — the unfused chain round-trips
-        # ~26 activation tensors through HBM per block and was the
-        # forward-time floor). Same parameter tree as the unfused path.
+        # in one VMEM-resident program). Measured on v5e it LOSES to the
+        # unfused XLA chain (all-X ablation b8: 33.1 vs 24.8 ms) — the
+        # floor is VPU tap arithmetic, not HBM traffic, and the kernel's
+        # roll/mask overhead adds to it — so the TPU default is OFF
+        # (DAT_TPU_XBLOCK=pallas opts in). On non-TPU backends the fused
+        # path stays on so interpret-mode tests exercise the kernel.
         fuse_x = (
             impl == "pallas"
             and self.use_dwc_mlp
@@ -103,7 +106,10 @@ class TransformerStage(nn.Module):
             and (self.drop == 0.0 or deterministic)
             and H % 8 == 0
             and W % 8 == 0
-            and os.environ.get("DAT_TPU_XBLOCK", "pallas") != "xla"
+            and os.environ.get(
+                "DAT_TPU_XBLOCK",
+                "xla" if jax.default_backend() == "tpu" else "pallas",
+            ) == "pallas"
         )
 
         for d in range(self.depths):

@@ -121,11 +121,15 @@ def conv2d(
     fan_in = kernel * kernel * (in_c // groups)
     import os
 
+    # Measured on v5e (all-X ablation, b8 512²): XLA's native grouped-conv
+    # lowering runs the depthwise chain at 24.8 ms vs 30.3 ms for the
+    # shift-FMA form — the VPU tap arithmetic dominates either way and
+    # XLA's conv emitter wins. shift stays as an opt-in experiment.
     if (
         groups == features == in_c
         and stride == 1
         and padding == kernel // 2
-        and os.environ.get("DAT_TPU_DWCONV", "shift") != "conv"
+        and os.environ.get("DAT_TPU_DWCONV", "conv") == "shift"
     ):
         return _DepthwiseShiftConv(
             kernel=kernel, padding=padding, use_bias=use_bias, name=name

@@ -69,6 +69,59 @@ def surgery(cfg, variant):
     )
 
 
+def bench_train_variant(cfg, variant, batch, iters):
+    """Full train step (fwd+bwd+AdamW) with the variant's config surgery —
+    attributes BACKWARD time the same way bench_variant attributes forward."""
+    from dat_segmentation_tpu.models import build_model
+    from dat_segmentation_tpu.parallel import (
+        TrainState,
+        create_train_state,
+        make_mesh,
+        make_train_step,
+    )
+    from dat_segmentation_tpu.parallel.mesh import shard_batch
+    from dat_segmentation_tpu.train import make_optimizer, warmup_poly_schedule
+
+    cfg = surgery(cfg, variant)
+    model = build_model(cfg.model)
+    mesh = make_mesh({"data": 1})
+    sched = warmup_poly_schedule(cfg.optimizer.lr, cfg.schedule.max_iters)
+    sample = jnp.zeros((batch, *SHAPE, 3))
+    st = create_train_state(
+        model, make_optimizer(sched, None), jax.random.PRNGKey(0), sample
+    )
+    tx = make_optimizer(sched, st.params,
+                        weight_decay=cfg.optimizer.weight_decay,
+                        no_decay_keys=cfg.optimizer.no_decay_keys)
+    st = TrainState(step=st.step, params=st.params, opt_state=tx.init(st.params),
+                    batch_stats=st.batch_stats, tx=tx)
+    step = make_train_step(
+        model, mesh, task="seg", num_classes=cfg.model.num_classes,
+        aux_weight=cfg.model.aux_loss_weight,
+    )
+    rng = np.random.RandomState(0)
+    b = shard_batch(mesh, {
+        "image": jnp.asarray(rng.randn(batch, *SHAPE, 3).astype(np.float32)),
+        "label": jnp.asarray(
+            rng.randint(0, 150, (batch, *SHAPE)).astype(np.int32)
+        ),
+    })
+    key = jax.random.PRNGKey(1)
+    for _ in range(3):
+        st, m = step(st, b, key)
+    _fetch(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, m = step(st, b, key)
+    _fetch(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(
+        f"  {variant} [train]: {dt*1e3:.1f} ms  ({batch/dt:.1f} img/s)",
+        flush=True,
+    )
+    return dt
+
+
 def bench_variant(cfg, variant, batch, iters):
     from dat_segmentation_tpu.models import build_model
 
@@ -124,6 +177,8 @@ def main():
         default=["full", "backbone", "allx", "nope", "nolpu", "plainmlp"],
     )
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--train", action="store_true",
+                    help="time the full train step per variant instead")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -131,9 +186,13 @@ def main():
     from dat_segmentation_tpu.configs import get_config
 
     cfg = get_config(args.config)
-    print(f"{args.config} @ {SHAPE}, batch {args.batch}:", flush=True)
+    print(f"{args.config} @ {SHAPE}, batch {args.batch}"
+          f"{' [train]' if args.train else ''}:", flush=True)
     for v in args.variants:
-        bench_variant(cfg, v, args.batch, args.iters)
+        if args.train:
+            bench_train_variant(cfg, v, args.batch, args.iters)
+        else:
+            bench_variant(cfg, v, args.batch, args.iters)
 
 
 if __name__ == "__main__":

@@ -13,6 +13,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _select_label_logp(logp: jax.Array, labels: jax.Array) -> jax.Array:
+    """logp[..., labels] along the trailing axis WITHOUT a gather.
+
+    ``take_along_axis`` lowers to a lane-dim gather whose backward is a
+    serialized scatter on TPU: the (4, 512, 512, 150) CE fwd+bwd costs
+    25.6 ms as a gather vs 11.1 ms as this masked reduction (v5e,
+    2026-08-17) — and the seg loss runs it twice (main + aux). The
+    one-hot compare never materializes; XLA fuses it into the reduce,
+    and its VJP is a broadcast-multiply, not a scatter.
+    """
+    classes = jnp.arange(logp.shape[-1], dtype=labels.dtype)
+    onehot = labels[..., None] == classes
+    return jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
+
+
 def cross_entropy_loss(
     logits: jax.Array,
     labels: jax.Array,
@@ -27,7 +42,7 @@ def cross_entropy_loss(
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = -_select_label_logp(logp, safe)
     nll = jnp.where(valid, nll, 0.0)
     count = jnp.maximum(valid.sum(), 1)
     return nll.sum() / count
@@ -62,6 +77,6 @@ def label_smoothing_cross_entropy(
     """torch CrossEntropyLoss(label_smoothing=s) semantics."""
     n = logits.shape[-1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    nll = -_select_label_logp(logp, labels)
     smooth = -logp.mean(axis=-1)
     return jnp.mean((1.0 - smoothing) * nll + smoothing * smooth)

@@ -41,6 +41,20 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--stages", type=str, default="0,1,2,3")
+    ap.add_argument(
+        "--cmul",
+        type=int,
+        default=1,
+        help="channel multiplier (4 = ConvMLP hidden-dim geometry)",
+    )
+    ap.add_argument(
+        "--chain",
+        type=int,
+        default=1,
+        help="apply the conv N times inside one jit (residual chain) to "
+        "amortize the ~1.4ms per-dispatch tunnel overhead; reported "
+        "times are per application",
+    )
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -119,6 +133,7 @@ def main():
 
     for si in [int(s) for s in args.stages.split(",")]:
         H, W, C = STAGES[si]
+        C *= args.cmul
         x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32) * 0.5).astype(
             jnp.bfloat16
         )
@@ -126,11 +141,15 @@ def main():
             jnp.bfloat16
         )
         for name, f in forms.items():
+            N = args.chain
 
             @partial(jax.jit, static_argnames=())
             def step(x, w, f=f):
                 def loss(x, w):
-                    return jnp.sum(f(x, w).astype(jnp.float32))
+                    y = x
+                    for _ in range(N):
+                        y = y + f(y, w)  # residual keeps magnitudes sane
+                    return jnp.sum(y.astype(jnp.float32))
 
                 l, grads = jax.value_and_grad(loss, argnums=(0, 1))(x, w)
                 return l, grads
@@ -141,19 +160,26 @@ def main():
             for _ in range(args.iters):
                 l, g = step(x, w)
             _fetch(g)
-            dt = (time.perf_counter() - t0) / args.iters * 1e3
-            # fwd-only for the same form
-            fwd = jax.jit(lambda x, w, f=f: f(x, w))
+            dt = (time.perf_counter() - t0) / args.iters / N * 1e3
+
+            # fwd-only for the same form, same chain length
+            @partial(jax.jit, static_argnames=())
+            def fwd(x, w, f=f):
+                y = x
+                for _ in range(N):
+                    y = y + f(y, w)
+                return y
+
             y = fwd(x, w)
             _fetch(y)
             t0 = time.perf_counter()
             for _ in range(args.iters):
                 y = fwd(x, w)
             _fetch(y)
-            dtf = (time.perf_counter() - t0) / args.iters * 1e3
+            dtf = (time.perf_counter() - t0) / args.iters / N * 1e3
             print(
                 f"stage{si} ({H}x{W}x{C}) {name:6s}: "
-                f"fwd {dtf:7.3f} ms  fwd+bwd {dt:7.3f} ms",
+                f"fwd {dtf:7.3f} ms  fwd+bwd {dt:7.3f} ms  (per appl)",
                 flush=True,
             )
 

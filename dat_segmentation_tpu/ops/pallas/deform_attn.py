@@ -76,6 +76,31 @@ def _lerp_taps(f, size, offset: int = 0):
     )
 
 
+def _m1_pack(Ns: int, th: int, tw: int, h_g: int) -> int:
+    """Sample-group packing factor G for the m1 tap matmul.
+
+    The m1 build (Ns*RT, th) @ (th, h_g*tw) is M-row-rate bound with
+    th, h_g*tw ≪ 128 lanes at the narrow stages. Packing G sample
+    groups block-diagonally multiplies K and N by G while dividing M by
+    G; the win is G / (K-passes * N-passes). Forced via DAT_TPU_M1PACK.
+    """
+    forced = os.environ.get("DAT_TPU_M1PACK", "")
+    if forced:
+        return int(forced)
+    import math
+
+    best, bc = 1, 1.0
+    for g_ in (2, 4, 8):
+        if Ns % g_:
+            continue
+        c = (
+            math.ceil(g_ * th / 128) * math.ceil(g_ * h_g * tw / 128)
+        ) / g_
+        if c < bc:
+            best, bc = g_, c
+    return best
+
+
 def _kernel(
     pos_ref,    # (1, Ns, 2) f32, (y, x) normalized
     q_ref,      # (1, RT, XB, Cg)
@@ -310,6 +335,7 @@ def _kernel_v3(
     scale: float,
     Hn: int,
     Wn: int,
+    nobias: bool = False,
 ):
     """Large-M variant for W >= 128 stages.
 
@@ -329,41 +355,46 @@ def _kernel_v3(
     py = pos_ref[0, :, 0]
     px = pos_ref[0, :, 1]
 
-    @pl.when(t == 0)
-    def _build_wx():
-        def body(i, carry):
-            xg = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, XC), 1) + i * XC
-            ).astype(jnp.float32)
-            xg = xg / max(Wn - 1.0, 1.0) * 2.0 - 1.0
-            dx = (xg - px[:, None]) * 0.5
-            fx = (dx + 1.0) * 0.5 * (tw - 1)
-            wx_ref[:, pl.ds(i * XC, XC), :] = _lerp_taps(fx, tw).astype(wdt)
-            return carry
+    if not nobias:
+        @pl.when(t == 0)
+        def _build_wx():
+            def body(i, carry):
+                xg = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, XC), 1) + i * XC
+                ).astype(jnp.float32)
+                xg = xg / max(Wn - 1.0, 1.0) * 2.0 - 1.0
+                dx = (xg - px[:, None]) * 0.5
+                fx = (dx + 1.0) * 0.5 * (tw - 1)
+                wx_ref[:, pl.ds(i * XC, XC), :] = _lerp_taps(fx, tw).astype(
+                    wdt
+                )
+                return carry
 
-        jax.lax.fori_loop(0, W // XC, body, 0)
+            jax.lax.fori_loop(0, W // XC, body, 0)
 
-    yg = jax.lax.broadcasted_iota(jnp.int32, (1, RT), 1).astype(jnp.float32)
-    yg = (yg + t * RT) / max(Hn - 1.0, 1.0) * 2.0 - 1.0
-    dy = (yg - py[:, None]) * 0.5
-    fy = (dy + 1.0) * 0.5 * (th - 1)
-    wy = _lerp_taps(fy, th).astype(wdt).reshape(Ns * RT, th)
-    for h in range(h_g):
-        m1 = jax.lax.dot_general(
-            wy, tbl_ref[0, h].astype(wdt),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+        yg = jax.lax.broadcasted_iota(
+            jnp.int32, (1, RT), 1
+        ).astype(jnp.float32)
+        yg = (yg + t * RT) / max(Hn - 1.0, 1.0) * 2.0 - 1.0
+        dy = (yg - py[:, None]) * 0.5
+        fy = (dy + 1.0) * 0.5 * (th - 1)
+        wy = _lerp_taps(fy, th).astype(wdt).reshape(Ns * RT, th)
+        for h in range(h_g):
+            m1 = jax.lax.dot_general(
+                wy, tbl_ref[0, h].astype(wdt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m1_ref[:, h * RT : (h + 1) * RT, :] = m1.astype(wdt).reshape(
+                Ns, RT, tw
+            )
+
+        # ONE batched bias matmul for every head: (Ns, h_g*RT, W)
+        bias_all = jax.lax.dot_general(
+            m1_ref[...], wx_ref[...],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        m1_ref[:, h * RT : (h + 1) * RT, :] = m1.astype(wdt).reshape(
-            Ns, RT, tw
-        )
-
-    # ONE batched bias matmul for every head: (Ns, h_g*RT, W)
-    bias_all = jax.lax.dot_general(
-        m1_ref[...], wx_ref[...],
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
 
     k = k_ref[0]
     v = v_ref[0]
@@ -379,7 +410,9 @@ def _kernel_v3(
             dimension_numbers=(((1,), (2,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Ns, RT, W)
-        s = s * scale + bias_all[:, h * RT : (h + 1) * RT, :]
+        s = s * scale
+        if not nobias:
+            s = s + bias_all[:, h * RT : (h + 1) * RT, :]
         s = s - jnp.max(s, axis=0, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=0, keepdims=True)
@@ -416,7 +449,8 @@ def _kernel_v4(
     o_ref,      # (1, RT, W, Cg)
     wx_ref,     # VMEM scratch (Ns, W, tw)
     m1_ref,     # VMEM scratch (Ns, h_g*RT, tw)
-    tall_ref,   # VMEM scratch (th, h_g*tw): heads side-by-side in lanes
+    tall_ref,   # VMEM scratch (pack*th, pack*h_g*tw): block-diag table,
+                # heads side-by-side in lanes within each diagonal block
     *,
     H: int,
     W: int,
@@ -429,6 +463,8 @@ def _kernel_v4(
     scale: float,
     Hn: int,
     Wn: int,
+    nobias: bool = False,
+    pack: int = 1,
 ):
     """Query-major kernel for narrow-W stages.
 
@@ -447,51 +483,80 @@ def _kernel_v4(
     py = pos_ref[0, :, 0]
     px = pos_ref[0, :, 1]
 
-    @pl.when(t == 0)
-    def _build_wx():
-        def body(i, carry):
-            xg = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, XC), 1) + i * XC
-            ).astype(jnp.float32)
-            xg = xg / max(Wn - 1.0, 1.0) * 2.0 - 1.0
-            dx = (xg - px[:, None]) * 0.5
-            fx = (dx + 1.0) * 0.5 * (tw - 1)
-            wx_ref[:, pl.ds(i * XC, XC), :] = _lerp_taps(fx, tw).astype(wdt)
-            return carry
+    if not nobias:
+        @pl.when(t == 0)
+        def _build_wx():
+            def body(i, carry):
+                xg = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, XC), 1) + i * XC
+                ).astype(jnp.float32)
+                xg = xg / max(Wn - 1.0, 1.0) * 2.0 - 1.0
+                dx = (xg - px[:, None]) * 0.5
+                fx = (dx + 1.0) * 0.5 * (tw - 1)
+                wx_ref[:, pl.ds(i * XC, XC), :] = _lerp_taps(fx, tw).astype(
+                    wdt
+                )
+                return carry
 
-        jax.lax.fori_loop(0, W // XC, body, 0)
+            jax.lax.fori_loop(0, W // XC, body, 0)
 
-    @pl.when(t == 0)
-    def _build_tall():
-        for h in range(h_g):
-            tall_ref[:, h * tw : (h + 1) * tw] = tbl_ref[0, h].astype(wdt)
+        @pl.when(t == 0)
+        def _build_tall():
+            if pack > 1:
+                tall_ref[...] = jnp.zeros(tall_ref.shape, wdt)
+            for j in range(pack):
+                for h in range(h_g):
+                    tall_ref[
+                        j * th : (j + 1) * th,
+                        j * h_g * tw + h * tw : j * h_g * tw + (h + 1) * tw,
+                    ] = tbl_ref[0, h].astype(wdt)
 
-    yg = jax.lax.broadcasted_iota(jnp.int32, (1, RT), 1).astype(jnp.float32)
-    yg = (yg + t * RT) / max(Hn - 1.0, 1.0) * 2.0 - 1.0
-    dy = (yg - py[:, None]) * 0.5
-    fy = (dy + 1.0) * 0.5 * (th - 1)
-    wy = _lerp_taps(fy, th).astype(wdt).reshape(Ns * RT, th)
-    # ONE m1 matmul with both heads' tables side-by-side in lanes: the
-    # (Ns*RT)-row M dim dominates this dot's cost (th, tw ≪ 128 at the
-    # narrow stages), so halving the number of passes ~halves it
-    m1a = jax.lax.dot_general(
-        wy, tall_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(wdt)  # (Ns*RT, h_g*tw)
-    for h in range(h_g):
-        m1_ref[:, h * RT : (h + 1) * RT, :] = m1a[
-            :, h * tw : (h + 1) * tw
-        ].reshape(Ns, RT, tw)
+        yg = jax.lax.broadcasted_iota(
+            jnp.int32, (1, RT), 1
+        ).astype(jnp.float32)
+        yg = (yg + t * RT) / max(Hn - 1.0, 1.0) * 2.0 - 1.0
+        dy = (yg - py[:, None]) * 0.5
+        fy = (dy + 1.0) * 0.5 * (th - 1)
+        # ONE m1 matmul with both heads' tables side-by-side in lanes: the
+        # (Ns*RT)-row M dim dominates this dot's cost (th, tw ≪ 128 at the
+        # narrow stages), so halving the number of passes ~halves it.
+        # `pack` > 1 goes further: the Ns samples split into `pack` groups
+        # whose tap rows are shifted into disjoint K-blocks (coords + j*th
+        # — valid because fy ∈ [0, th-1] for real query rows) and
+        # multiplied against a block-diagonal table, cutting the dominant
+        # M row count by `pack` for the same result.
+        NsG = Ns // pack
+        if pack > 1:
+            jsh = jax.lax.broadcasted_iota(
+                jnp.int32, (pack, 1), 0
+            ).astype(jnp.float32) * th
+            wyg = _lerp_taps(fy.reshape(pack, NsG * RT) + jsh, pack * th)
+            wy = jnp.sum(wyg, axis=0).astype(wdt)  # (NsG*RT, pack*th)
+        else:
+            wy = _lerp_taps(fy, th).astype(wdt).reshape(Ns * RT, th)
+        m1a = jax.lax.dot_general(
+            wy, tall_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(wdt)  # (NsG*RT, pack*h_g*tw)
+        for j in range(pack):
+            for h in range(h_g):
+                m1_ref[
+                    j * NsG : (j + 1) * NsG, h * RT : (h + 1) * RT, :
+                ] = m1a[
+                    :, j * h_g * tw + h * tw : j * h_g * tw + (h + 1) * tw
+                ].reshape(NsG, RT, tw)
 
-    bias_all = jax.lax.dot_general(
-        m1_ref[...], wx_ref[...],
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (Ns, h_g*RT, W)
-    # ONE transpose into query-major (the per-(h, r) 2-D transpose form
-    # cost 4.5 ms/block at stage 1): rows ordered (h, r, x)
-    bias_qm = jnp.transpose(bias_all, (1, 2, 0)).reshape(h_g * RT * W, Ns)
+        bias_all = jax.lax.dot_general(
+            m1_ref[...], wx_ref[...],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (Ns, h_g*RT, W)
+        # ONE transpose into query-major (the per-(h, r) 2-D transpose
+        # form cost 4.5 ms/block at stage 1): rows ordered (h, r, x)
+        bias_qm = jnp.transpose(
+            bias_all, (1, 2, 0)
+        ).reshape(h_g * RT * W, Ns)
 
     k = k_ref[0]
     v = v_ref[0]
@@ -507,7 +572,8 @@ def _kernel_v4(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (RT*W, Ns)
-        s2 = s2 + bias_qm[h * RT * W : (h + 1) * RT * W, :]
+        if not nobias:
+            s2 = s2 + bias_qm[h * RT * W : (h + 1) * RT * W, :]
 
         # softmax along lanes (the sampled points)
         s2 = s2 - jnp.max(s2, axis=1, keepdims=True)
@@ -596,10 +662,12 @@ def fused_deform_attention_v2(
         q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
         table = table.astype(jnp.bfloat16)
 
-    kw = {}
-    if version == 2:
-        # debug knob for perf attribution: skip the RPE-bias path
-        kw["nobias"] = os.environ.get("DAT_TPU_KERNEL_NOBIAS", "0") == "1"
+    # debug knob for perf attribution: skip the RPE-bias path
+    kw = {"nobias": os.environ.get("DAT_TPU_KERNEL_NOBIAS", "0") == "1"}
+    pack = 1
+    if version == 4:
+        pack = _m1_pack(Ns, th, tw, h_g)
+        kw["pack"] = pack
     kfn = {2: _kernel_v2, 3: _kernel_v3, 4: _kernel_v4}[version]
     kernel = functools.partial(
         kfn, H=H, W=W, RT=RT, XC=XC, h_g=h_g, hc=hc, th=th, tw=tw,
@@ -631,7 +699,8 @@ def fused_deform_attention_v2(
                 q.dtype,
             ),
         ] + (
-            [pltpu.VMEM((th, h_g * tw), q.dtype)] if version == 4 else []
+            [pltpu.VMEM((pack * th, pack * h_g * tw), q.dtype)]
+            if version == 4 else []
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -959,6 +1028,7 @@ def _kernel_v4_bwd(
     dtapx_ref,  # VMEM scratch (Ns, W, tw)
     m1_ref,     # VMEM scratch (Ns, h_g*RT, tw)
     ds_ref,     # VMEM scratch (h_g*RT, W, Ns) f32: QUERY-major logit grads
+    tall_ref,   # VMEM scratch (pack*th, pack*h_g*tw): block-diag table
     *,
     H: int,
     W: int,
@@ -971,6 +1041,7 @@ def _kernel_v4_bwd(
     scale: float,
     Hn: int,
     Wn: int,
+    pack: int = 1,
 ):
     """Query-major backward for narrow-W stages (the v4 forward's layout,
     VERDICT r2 weak #2: the v2-layout backward's per-row (., W)-lane dots
@@ -994,6 +1065,14 @@ def _kernel_v4_bwd(
         dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
         dpos_ref[...] = jnp.zeros(dpos_ref.shape, dpos_ref.dtype)
         dtbl_ref[...] = jnp.zeros(dtbl_ref.shape, dtbl_ref.dtype)
+        if pack > 1:
+            tall_ref[...] = jnp.zeros(tall_ref.shape, wdt)
+        for j in range(pack):
+            for h in range(h_g):
+                tall_ref[
+                    j * th : (j + 1) * th,
+                    j * h_g * tw + h * tw : j * h_g * tw + (h + 1) * tw,
+                ] = tbl_ref[0, h].astype(wdt)
 
         def body(i, carry):
             xg = (
@@ -1013,30 +1092,49 @@ def _kernel_v4_bwd(
 
         jax.lax.fori_loop(0, W // XC, body, 0)
 
-    # --- recompute fy / wy / m1 (head-folded, as the forward) ----------
+    # --- recompute fy / wy / m1 (head-folded + sample-group packed, as
+    # the forward: groups' taps shift into disjoint K-blocks against the
+    # block-diagonal table, cutting the dominant M row count by `pack`)
+    NsG = Ns // pack
     yg = jax.lax.broadcasted_iota(jnp.int32, (1, RT), 1).astype(jnp.float32)
     yg = (yg + t * RT) / max(Hn - 1.0, 1.0) * 2.0 - 1.0
     dy = (yg - py[:, None]) * 0.5
     fy = (dy + 1.0) * 0.5 * (th - 1)
-    wy = _lerp_taps(fy, th).astype(wdt)
-    wy2 = wy.reshape(Ns * RT, th)
-    for h in range(h_g):
-        m1 = jax.lax.dot_general(
-            wy2, tbl_ref[0, h].astype(wdt),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    if pack > 1:
+        jsh = jax.lax.broadcasted_iota(
+            jnp.int32, (pack, 1), 0
+        ).astype(jnp.float32) * th
+        fyp = fy.reshape(pack, NsG * RT) + jsh
+        wy2 = jnp.sum(_lerp_taps(fyp, pack * th), axis=0).astype(wdt)
+        i0p = jnp.floor(fyp).astype(jnp.int32)[..., None]
+        tapsp = jax.lax.broadcasted_iota(
+            jnp.int32, (pack, NsG * RT, pack * th), 2
         )
-        m1_ref[:, h * RT : (h + 1) * RT, :] = m1.astype(wdt).reshape(
-            Ns, RT, tw
-        )
-
-    i0y = jnp.floor(fy).astype(jnp.int32)[..., None]
-    tapsy = jax.lax.broadcasted_iota(jnp.int32, (Ns, RT, th), 2)
-    dtapy = (
-        jnp.where(tapsy == i0y + 1, 1.0, 0.0)
-        - jnp.where(tapsy == i0y, 1.0, 0.0)
-    ).astype(wdt)
-    dtapy2 = dtapy.reshape(Ns * RT, th)
+        dtapy2 = jnp.sum(
+            jnp.where(tapsp == i0p + 1, 1.0, 0.0)
+            - jnp.where(tapsp == i0p, 1.0, 0.0),
+            axis=0,
+        ).astype(wdt)  # (NsG*RT, pack*th)
+    else:
+        wy2 = _lerp_taps(fy, th).astype(wdt).reshape(Ns * RT, th)
+        i0y = jnp.floor(fy).astype(jnp.int32)[..., None]
+        tapsy = jax.lax.broadcasted_iota(jnp.int32, (Ns, RT, th), 2)
+        dtapy2 = (
+            jnp.where(tapsy == i0y + 1, 1.0, 0.0)
+            - jnp.where(tapsy == i0y, 1.0, 0.0)
+        ).astype(wdt).reshape(Ns * RT, th)
+    m1a = jax.lax.dot_general(
+        wy2, tall_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(wdt)  # (NsG*RT, pack*h_g*tw)
+    for j in range(pack):
+        for h in range(h_g):
+            m1_ref[
+                j * NsG : (j + 1) * NsG, h * RT : (h + 1) * RT, :
+            ] = m1a[
+                :, j * h_g * tw + h * tw : j * h_g * tw + (h + 1) * tw
+            ].reshape(NsG, RT, tw)
 
     # bias (sample-major) then ONE transpose into query-major rows (h, r, x)
     bias_all = jax.lax.dot_general(
@@ -1111,24 +1209,54 @@ def _kernel_v4_bwd(
     )  # (Ns, h_g*RT, tw)
     dm1_lo = dm1.astype(wdt)
 
-    dpy_acc = jnp.zeros((1, Ns), jnp.float32)
+    # pack dm1 into the (NsG*RT, pack*h_g*tw) lane layout (the inverse of
+    # the m1 unpack): ONE row-contraction then yields every (group, head)
+    # dtable block on the diagonal, and ONE dtapy matmul against the
+    # block-diag table gives every head's g1 — pack*h_g fewer matmuls,
+    # with pack x fewer K-depth passes in the dtable contraction.
+    dm1p = jnp.concatenate(
+        [
+            dm1_lo[
+                j * NsG : (j + 1) * NsG, h * RT : (h + 1) * RT, :
+            ].reshape(NsG * RT, tw)
+            for j in range(pack)
+            for h in range(h_g)
+        ],
+        axis=1,
+    )  # (NsG*RT, pack*h_g*tw)
+    dtb = jax.lax.dot_general(
+        wy2, dm1p,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (pack*th, pack*h_g*tw); diagonal blocks are per-group dtables
     for h in range(h_g):
-        dm1_h2 = dm1_lo[:, h * RT : (h + 1) * RT, :].reshape(Ns * RT, tw)
-        dtbl_ref[0, h] += jax.lax.dot_general(
-            wy2, dm1_h2,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        g1 = jax.lax.dot_general(
-            dtapy2, tbl_ref[0, h].astype(wdt),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Ns*RT, tw)
-        dfy = (dm1_h2.astype(jnp.float32) * g1).reshape(Ns, RT, tw)
-        dfy_nr = jnp.sum(dfy, axis=2)  # (Ns, RT)
-        dpy_acc = dpy_acc + jnp.sum(
-            jnp.transpose(dfy_nr), axis=0, keepdims=True
-        )
+        acc = dtb[0:th, h * tw : (h + 1) * tw]
+        for j in range(1, pack):
+            acc = acc + dtb[
+                j * th : (j + 1) * th,
+                j * h_g * tw + h * tw : j * h_g * tw + (h + 1) * tw,
+            ]
+        dtbl_ref[0, h] += acc
+
+    g1p = jax.lax.dot_general(
+        dtapy2, tall_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (NsG*RT, pack*h_g*tw)
+    dfyp = dm1p.astype(jnp.float32) * g1p
+    dfy_sum = jnp.sum(
+        dfyp.reshape(NsG, RT, pack * h_g * tw), axis=1
+    )  # (NsG, pack*h_g*tw)
+    dpy_parts = []
+    for j in range(pack):
+        s = jnp.sum(
+            dfy_sum[:, j * h_g * tw : (j + 1) * h_g * tw],
+            axis=1, keepdims=True,
+        )  # (NsG, 1)
+        dpy_parts.append(jnp.transpose(s))  # (1, NsG)
+    dpy_acc = (
+        jnp.concatenate(dpy_parts, axis=1) if pack > 1 else dpy_parts[0]
+    )
 
     cx = jax.lax.dot_general(
         m1_ref[...], dtapx_ref[...],
@@ -1185,10 +1313,12 @@ def fused_deform_attention_bwd_v2(
         dout = dout.astype(jnp.bfloat16)
     kdt = q.dtype
 
+    pack = _m1_pack(Ns, th, tw, h_g) if layout == "v4" else 1
     kernel = functools.partial(
         _kernel_v4_bwd if layout == "v4" else _kernel_v2_bwd,
         H=H, W=W, RT=RT, XC=XC, h_g=h_g, hc=hc, th=th,
         tw=tw, scale=scale, Hn=hn, Wn=wn,
+        **({"pack": pack} if layout == "v4" else {}),
     )
     dq, dk, dv, dpos_t, dtbl_b = pl.pallas_call(
         kernel,
@@ -1234,7 +1364,10 @@ def fused_deform_attention_bwd_v2(
                 (h_g * RT, W, Ns) if layout == "v4" else (Ns, h_g * RT, W),
                 jnp.float32,
             ),
-        ],
+        ] + (
+            [pltpu.VMEM((pack * th, pack * h_g * tw), kdt)]
+            if layout == "v4" else []
+        ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,

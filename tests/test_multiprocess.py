@@ -33,7 +33,7 @@ def _free_port() -> int:
 def test_two_process_trainer_soak(tmp_path):
     """Full train->eval cycle through trainer_seg on 2 processes: same
     loss trajectory as single-process (same global batches on the same
-    4-device mesh), identical eval mIoU via the in-run distributed
+    2-device mesh), identical eval mIoU via the in-run distributed
     reduction, and checkpoints written by rank 0 only."""
     cv2 = pytest.importorskip("cv2")
     import numpy as np
@@ -72,7 +72,9 @@ def test_two_process_trainer_soak(tmp_path):
         ]
         outs = []
         for p in procs:
-            out, err = p.communicate(timeout=570)
+            # generous: gloo ranks spin-wait, so a 1-core host runs the
+            # 2-process leg at a fraction of real-time
+            out, err = p.communicate(timeout=840)
             assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
             lines = [
                 ln for ln in out.strip().splitlines()

@@ -134,6 +134,45 @@ def test_fused_backward_layouts_match_xla_vjp(shape, layout, monkeypatch):
         )
 
 
+@pytest.mark.parametrize(
+    "shape",
+    [
+        # real DAT-T++ narrow-stage geometry (Ns=256): th=13 packs the
+        # m1 tap matmuls 4-way, th=27 2-way (_m1_pack block-diag groups)
+        dict(B=1, g=2, h_g=2, hc=8, H=16, W=16, Ns=256, th=13, tw=13),
+        dict(B=1, g=2, h_g=2, hc=8, H=16, W=32, Ns=256, th=27, tw=27),
+    ],
+)
+def test_fused_backward_packed_stage_shapes(shape, monkeypatch):
+    """Query-major fwd+bwd at production narrow-stage shapes, where the
+    sample-group K-block packing (pack=2/4) is active."""
+    monkeypatch.setenv("DAT_TPU_BWD_LAYOUT", "v4")
+    q, k, v, pos, table = _inputs(**shape)
+    g = table.shape[0]
+    scale = (q.shape[-1] // table.shape[1]) ** -0.5
+    dout = jnp.asarray(
+        np.random.RandomState(17).randn(*q.shape).astype(np.float32)
+    )
+    out_f, vjp_f = jax.vjp(
+        lambda *a: fused_deform_attention(*a, g, scale, True, 4, True),
+        q, k, v, pos, table,
+    )
+    out_x, vjp_x = jax.vjp(
+        lambda *a: _xla_reference(*a, n_groups=g, scale=scale),
+        q, k, v, pos, table,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_x), rtol=1e-4, atol=1e-5
+    )
+    for name, a, b in zip(
+        ("dq", "dk", "dv", "dpos", "dtable"), vjp_f(dout), vjp_x(dout)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )
+
+
 def test_fused_backward_padded_shapes():
     """Fused backward through padded queries: zero cotangents on pad rows
     must leave every gradient identical to the unpadded composite."""

@@ -447,8 +447,11 @@ def _kernel_v4(
     v_ref,      # (1, Ns, Cg)
     tbl_ref,    # (1, h_g, th, tw)
     o_ref,      # (1, RT, W, Cg)
-    wx_ref,     # VMEM scratch (Ns, W, tw)
-    m1_ref,     # VMEM scratch (Ns, h_g*RT, tw)
+    wx_ref,     # VMEM scratch (Ns/pack, pack*W, pack*tw): block-diag
+                # x-tap weights — group j's (W, tw) block sits at rows
+                # [j*W:(j+1)*W), lanes [j*tw:(j+1)*tw)
+    m1_ref,     # VMEM scratch (Ns/pack, h_g*RT, pack*tw): group-packed
+                # row-interpolated table (lanes (j, u) per head-row block)
     tall_ref,   # VMEM scratch (pack*th, pack*h_g*tw): block-diag table,
                 # heads side-by-side in lanes within each diagonal block
     *,
@@ -475,8 +478,16 @@ def _kernel_v4(
     full-lane matmuls, and softmax reduces along lanes. The bias is
     computed sample-major (heads folded, as v3) and enters via RT cheap
     (Ns, W) -> (W, Ns) 2-D transposes.
+
+    `pack` = G > 1 additionally splits the Ns samples into G groups and
+    runs BOTH bias matmuls block-diagonally: the m1 tap build against a
+    block-diag table with G-fewer M rows, and the per-sample batched
+    bias matmul against block-diag x-tap weights with G-fewer batch
+    elements (G*W lanes each) — the two ops are M-row/batch-rate bound
+    at th, tw, W ≪ 128, so each is ~G x cheaper.
     """
     Ns = pos_ref.shape[1]
+    NsG = Ns // pack
     t = pl.program_id(1)
     wdt = q_ref.dtype
 
@@ -486,6 +497,9 @@ def _kernel_v4(
     if not nobias:
         @pl.when(t == 0)
         def _build_wx():
+            if pack > 1:
+                wx_ref[...] = jnp.zeros(wx_ref.shape, wdt)
+
             def body(i, carry):
                 xg = (
                     jax.lax.broadcasted_iota(jnp.int32, (1, XC), 1) + i * XC
@@ -493,9 +507,13 @@ def _kernel_v4(
                 xg = xg / max(Wn - 1.0, 1.0) * 2.0 - 1.0
                 dx = (xg - px[:, None]) * 0.5
                 fx = (dx + 1.0) * 0.5 * (tw - 1)
-                wx_ref[:, pl.ds(i * XC, XC), :] = _lerp_taps(fx, tw).astype(
-                    wdt
-                )
+                w = _lerp_taps(fx, tw).astype(wdt)  # (Ns, XC, tw)
+                for j in range(pack):
+                    wx_ref[
+                        :,
+                        pl.ds(j * W + i * XC, XC),
+                        j * tw : (j + 1) * tw,
+                    ] = w[j * NsG : (j + 1) * NsG]
                 return carry
 
             jax.lax.fori_loop(0, W // XC, body, 0)
@@ -525,7 +543,6 @@ def _kernel_v4(
         # — valid because fy ∈ [0, th-1] for real query rows) and
         # multiplied against a block-diagonal table, cutting the dominant
         # M row count by `pack` for the same result.
-        NsG = Ns // pack
         if pack > 1:
             jsh = jax.lax.broadcasted_iota(
                 jnp.int32, (pack, 1), 0
@@ -542,20 +559,27 @@ def _kernel_v4(
         for j in range(pack):
             for h in range(h_g):
                 m1_ref[
-                    j * NsG : (j + 1) * NsG, h * RT : (h + 1) * RT, :
+                    :, h * RT : (h + 1) * RT, j * tw : (j + 1) * tw
                 ] = m1a[
                     :, j * h_g * tw + h * tw : j * h_g * tw + (h + 1) * tw
                 ].reshape(NsG, RT, tw)
 
-        bias_all = jax.lax.dot_general(
+        bias_p = jax.lax.dot_general(
             m1_ref[...], wx_ref[...],
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (Ns, h_g*RT, W)
-        # ONE transpose into query-major (the per-(h, r) 2-D transpose
-        # form cost 4.5 ms/block at stage 1): rows ordered (h, r, x)
-        bias_qm = jnp.transpose(
-            bias_all, (1, 2, 0)
+        )  # (NsG, h_g*RT, pack*W); lane block j = group j's bias
+        # per-group transposes into query-major (the per-(h, r) 2-D
+        # transpose form cost 4.5 ms/block at stage 1), groups
+        # concatenated back along lanes in (j, n_local) = n order
+        bias_qm = jnp.concatenate(
+            [
+                jnp.transpose(
+                    bias_p[:, :, j * W : (j + 1) * W], (1, 2, 0)
+                )
+                for j in range(pack)
+            ],
+            axis=2,
         ).reshape(h_g * RT * W, Ns)
 
     k = k_ref[0]
@@ -692,9 +716,14 @@ def fused_deform_attention_v2(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BG, H, W, Cg), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((Ns, W, tw), q.dtype),
             pltpu.VMEM(
-                (Ns, h_g * RT, tw) if version in (3, 4)
+                (Ns // pack, pack * W, pack * tw) if version == 4
+                else (Ns, W, tw),
+                q.dtype,
+            ),
+            pltpu.VMEM(
+                (Ns // pack, h_g * RT, pack * tw) if version == 4
+                else (Ns, h_g * RT, tw) if version == 3
                 else (h_g, Ns, RT, tw),
                 q.dtype,
             ),
@@ -1024,9 +1053,9 @@ def _kernel_v4_bwd(
     dv_ref,     # (1, Ns, Cg) f32 out, accumulated over row tiles
     dpos_ref,   # (1, 2, Ns) f32 out (y, x rows), accumulated
     dtbl_ref,   # (1, h_g, th, tw) f32 out, accumulated
-    wx_ref,     # VMEM scratch (Ns, W, tw)
-    dtapx_ref,  # VMEM scratch (Ns, W, tw)
-    m1_ref,     # VMEM scratch (Ns, h_g*RT, tw)
+    wx_ref,     # VMEM scratch (Ns/pack, pack*W, pack*tw): block-diag
+    dtapx_ref,  # VMEM scratch (Ns/pack, pack*W, pack*tw): block-diag
+    m1_ref,     # VMEM scratch (Ns/pack, h_g*RT, pack*tw): group-packed
     ds_ref,     # VMEM scratch (h_g*RT, W, Ns) f32: QUERY-major logit grads
     tall_ref,   # VMEM scratch (pack*th, pack*h_g*tw): block-diag table
     *,
@@ -1067,6 +1096,8 @@ def _kernel_v4_bwd(
         dtbl_ref[...] = jnp.zeros(dtbl_ref.shape, dtbl_ref.dtype)
         if pack > 1:
             tall_ref[...] = jnp.zeros(tall_ref.shape, wdt)
+            wx_ref[...] = jnp.zeros(wx_ref.shape, wdt)
+            dtapx_ref[...] = jnp.zeros(dtapx_ref.shape, wdt)
         for j in range(pack):
             for h in range(h_g):
                 tall_ref[
@@ -1081,13 +1112,19 @@ def _kernel_v4_bwd(
             xg = xg / max(Wn - 1.0, 1.0) * 2.0 - 1.0
             dx = (xg - px[:, None]) * 0.5
             fx = (dx + 1.0) * 0.5 * (tw - 1)
-            wx_ref[:, pl.ds(i * XC, XC), :] = _lerp_taps(fx, tw).astype(wdt)
+            w = _lerp_taps(fx, tw).astype(wdt)  # (Ns, XC, tw)
             i0x = jnp.floor(fx).astype(jnp.int32)[..., None]
             tapsx = jax.lax.broadcasted_iota(jnp.int32, (Ns, XC, tw), 2)
-            dtapx_ref[:, pl.ds(i * XC, XC), :] = (
+            dt = (
                 jnp.where(tapsx == i0x + 1, 1.0, 0.0)
                 - jnp.where(tapsx == i0x, 1.0, 0.0)
             ).astype(wdt)
+            NsG_ = Ns // pack
+            for j in range(pack):
+                sl = pl.ds(j * W + i * XC, XC)
+                lj = slice(j * tw, (j + 1) * tw)
+                wx_ref[:, sl, lj] = w[j * NsG_ : (j + 1) * NsG_]
+                dtapx_ref[:, sl, lj] = dt[j * NsG_ : (j + 1) * NsG_]
             return carry
 
         jax.lax.fori_loop(0, W // XC, body, 0)
@@ -1131,18 +1168,26 @@ def _kernel_v4_bwd(
     for j in range(pack):
         for h in range(h_g):
             m1_ref[
-                j * NsG : (j + 1) * NsG, h * RT : (h + 1) * RT, :
+                :, h * RT : (h + 1) * RT, j * tw : (j + 1) * tw
             ] = m1a[
                 :, j * h_g * tw + h * tw : j * h_g * tw + (h + 1) * tw
             ].reshape(NsG, RT, tw)
 
-    # bias (sample-major) then ONE transpose into query-major rows (h, r, x)
-    bias_all = jax.lax.dot_general(
+    # bias recompute as a group-packed batched matmul (Ns/pack batch
+    # elements against block-diag x-taps), then per-group transposes into
+    # query-major rows (h, r, x), lanes back in (j, n_local) = n order
+    bias_p = jax.lax.dot_general(
         m1_ref[...], wx_ref[...],
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (Ns, h_g*RT, W)
-    bias_qm = jnp.transpose(bias_all, (1, 2, 0)).reshape(h_g * RT * W, Ns)
+    )  # (NsG, h_g*RT, pack*W)
+    bias_qm = jnp.concatenate(
+        [
+            jnp.transpose(bias_p[:, :, j * W : (j + 1) * W], (1, 2, 0))
+            for j in range(pack)
+        ],
+        axis=2,
+    ).reshape(h_g * RT * W, Ns)
 
     k = k_ref[0]
     v = v_ref[0]
@@ -1200,24 +1245,34 @@ def _kernel_v4_bwd(
         )
 
     # --- bias-path gradients: cross back to sample-major ---------------
-    ds_all32 = jnp.transpose(ds_ref[...], (2, 0, 1))  # (Ns, h_g*RT, W) f32
-    ds_all = ds_all32.astype(wdt)
+    # group-packed: ds lanes regroup as (j, x) blocks so all three
+    # batched matmuls (dm1, bias recompute above, cx below) run with
+    # Ns/pack batch elements against block-diag operands
+    ds_p32 = jnp.concatenate(
+        [
+            jnp.transpose(
+                ds_ref[:, :, j * NsG : (j + 1) * NsG], (2, 0, 1)
+            )
+            for j in range(pack)
+        ],
+        axis=2,
+    )  # (NsG, h_g*RT, pack*W) f32
     dm1 = jax.lax.dot_general(
-        ds_all, wx_ref[...],
+        ds_p32.astype(wdt), wx_ref[...],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (Ns, h_g*RT, tw)
+    )  # (NsG, h_g*RT, pack*tw): lane blocks (j, u)
     dm1_lo = dm1.astype(wdt)
 
-    # pack dm1 into the (NsG*RT, pack*h_g*tw) lane layout (the inverse of
-    # the m1 unpack): ONE row-contraction then yields every (group, head)
-    # dtable block on the diagonal, and ONE dtapy matmul against the
-    # block-diag table gives every head's g1 — pack*h_g fewer matmuls,
-    # with pack x fewer K-depth passes in the dtable contraction.
+    # re-pack dm1 into the (NsG*RT, pack*h_g*tw) m1a lane layout: ONE
+    # row-contraction then yields every (group, head) dtable block on
+    # the diagonal, and ONE dtapy matmul against the block-diag table
+    # gives every head's g1 — pack*h_g fewer matmuls, with pack x fewer
+    # K-depth passes in the dtable contraction.
     dm1p = jnp.concatenate(
         [
             dm1_lo[
-                j * NsG : (j + 1) * NsG, h * RT : (h + 1) * RT, :
+                :, h * RT : (h + 1) * RT, j * tw : (j + 1) * tw
             ].reshape(NsG * RT, tw)
             for j in range(pack)
             for h in range(h_g)
@@ -1262,9 +1317,17 @@ def _kernel_v4_bwd(
         m1_ref[...], dtapx_ref[...],
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (Ns, h_g*RT, W)
-    dfx_nm = jnp.sum(ds_all32 * cx, axis=2)  # (Ns, h_g*RT)
-    dpx_acc = jnp.sum(jnp.transpose(dfx_nm), axis=0, keepdims=True)
+    )  # (NsG, h_g*RT, pack*W): lane blocks (j, x)
+    dfx_sum = jnp.sum(ds_p32 * cx, axis=1)  # (NsG, pack*W)
+    dpx_parts = []
+    for j in range(pack):
+        s = jnp.sum(
+            dfx_sum[:, j * W : (j + 1) * W], axis=1, keepdims=True
+        )  # (NsG, 1)
+        dpx_parts.append(jnp.transpose(s))  # (1, NsG)
+    dpx_acc = (
+        jnp.concatenate(dpx_parts, axis=1) if pack > 1 else dpx_parts[0]
+    )
 
     dpos_ref[0] += jnp.concatenate(
         [dpy_acc * (-0.25 * (th - 1)), dpx_acc * (-0.25 * (tw - 1))], axis=0
@@ -1356,17 +1419,21 @@ def fused_deform_attention_bwd_v2(
             jax.ShapeDtypeStruct((BG, 2, Ns), jnp.float32),
             jax.ShapeDtypeStruct((BG, h_g, th, tw), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((Ns, W, tw), kdt),
-            pltpu.VMEM((Ns, W, tw), kdt),
-            pltpu.VMEM((Ns, h_g * RT, tw), kdt),
-            pltpu.VMEM(
-                (h_g * RT, W, Ns) if layout == "v4" else (Ns, h_g * RT, W),
-                jnp.float32,
-            ),
-        ] + (
-            [pltpu.VMEM((pack * th, pack * h_g * tw), kdt)]
-            if layout == "v4" else []
+        scratch_shapes=(
+            [
+                pltpu.VMEM((Ns // pack, pack * W, pack * tw), kdt),
+                pltpu.VMEM((Ns // pack, pack * W, pack * tw), kdt),
+                pltpu.VMEM((Ns // pack, h_g * RT, pack * tw), kdt),
+                pltpu.VMEM((h_g * RT, W, Ns), jnp.float32),
+                pltpu.VMEM((pack * th, pack * h_g * tw), kdt),
+            ]
+            if layout == "v4"
+            else [
+                pltpu.VMEM((Ns, W, tw), kdt),
+                pltpu.VMEM((Ns, W, tw), kdt),
+                pltpu.VMEM((Ns, h_g * RT, tw), kdt),
+                pltpu.VMEM((Ns, h_g * RT, W), jnp.float32),
+            ]
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

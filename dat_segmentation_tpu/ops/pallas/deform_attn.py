@@ -29,6 +29,7 @@ Other PE modes use the XLA path.
 from __future__ import annotations
 
 import functools
+import math
 import os
 from typing import Optional
 
@@ -86,9 +87,8 @@ def _m1_pack(Ns: int, th: int, tw: int, h_g: int) -> int:
     """
     forced = os.environ.get("DAT_TPU_M1PACK", "")
     if forced:
-        return int(forced)
-    import math
-
+        f = int(forced)
+        return f if f >= 1 and Ns % f == 0 else 1
     best, bc = 1, 1.0
     for g_ in (2, 4, 8):
         if Ns % g_:

@@ -25,11 +25,21 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    """Thin orbax wrapper with step dirs, best tracking and metadata."""
+    """Thin orbax wrapper with step dirs, best tracking and metadata.
+
+    Multi-process contract: ``save`` must be called by EVERY process
+    (orbax's ``Checkpointer.save`` runs ``sync_global_processes``
+    barriers across all hosts — a rank-0-only call deadlocks: rank 0
+    parks in the barrier AllGather while the other ranks run ahead into
+    the next train step's grad psum and time out). Filesystem side
+    effects (rmtree, metadata, GC) happen on the primary host only;
+    orbax itself writes replicated numpy leaves once.
+    """
 
     def __init__(self, directory: str, *, max_to_keep: int = 3):
         self.directory = Path(directory).absolute()
-        self.directory.mkdir(parents=True, exist_ok=True)
+        if jax.process_index() == 0:
+            self.directory.mkdir(parents=True, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer()
         self.max_to_keep = max_to_keep
 
@@ -45,17 +55,23 @@ class CheckpointManager:
         overwrite: bool = True,
     ):
         path = self._step_dir(tag)
-        if path.exists() and overwrite:
+        primary = jax.process_index() == 0
+        # Primary rmtrees BEFORE entering orbax's save (whose first act is
+        # an all-process barrier), so no process can observe a half-deleted
+        # directory: everyone passes the barrier only after primary — and
+        # its rmtree — has entered.
+        if primary and path.exists() and overwrite:
             import shutil
 
             shutil.rmtree(path)
         self._ckpt.save(path, state_tree)
         self._ckpt.wait_until_finished()
-        if metadata is not None:
-            (self.directory / f"ckpt_{tag}.meta.json").write_text(
-                json.dumps(metadata, default=str)
-            )
-        self._gc()
+        if primary:
+            if metadata is not None:
+                (self.directory / f"ckpt_{tag}.meta.json").write_text(
+                    json.dumps(metadata, default=str)
+                )
+            self._gc()
 
     def restore(self, tag, target=None):
         path = self._step_dir(tag)
@@ -90,10 +106,11 @@ class CheckpointManager:
 
 def save_backbone_only(path: str, params: Dict[str, Any]):
     """Export just the backbone subtree for seg fine-tuning
-    (reference train_backbone.py:303-331)."""
+    (reference train_backbone.py:303-331). Call from EVERY process in
+    multi-process runs (orbax barriers internally; see CheckpointManager)."""
     ckpt = ocp.StandardCheckpointer()
     p = Path(path).absolute()
-    if p.exists():
+    if jax.process_index() == 0 and p.exists():
         import shutil
 
         shutil.rmtree(p)

@@ -32,7 +32,7 @@ from ..parallel import (
     make_train_step,
 )
 from ..parallel.mesh import local_batch_size, process_shard_info, shard_batch
-from ..utils.logging import MetricLogger, is_main_process, weight_stats
+from ..utils.logging import MetricLogger, weight_stats
 from .checkpoint import CheckpointManager, load_pretrained, merge_pretrained, save_backbone_only
 from .optim import make_optimizer
 from .trainer_seg import build_schedule
@@ -206,8 +206,10 @@ def train_classifier(
         history["val_acc5"].append(acc5)
         logger.log(f"epoch {epoch} val acc1={acc1*100:.2f} acc5={acc5*100:.2f}")
 
-        # rank-0-only checkpoint writes (reference train_backbone.py:303-331)
-        if ((epoch + 1) % 10 == 0 or epoch == n_epochs - 1) and is_main_process():
+        # ckpt.save must run on EVERY process (orbax barriers across all
+        # hosts; see CheckpointManager) — only primary writes, matching
+        # the reference's rank-0 saves (train_backbone.py:303-331).
+        if (epoch + 1) % 10 == 0 or epoch == n_epochs - 1:
             ckpt.save(
                 epoch + 1,
                 {
@@ -219,9 +221,9 @@ def train_classifier(
                 metadata={"epoch": epoch, "acc1": acc1},
             )
         if acc1 > best_acc:
+            # acc1 is globally reduced — identical on every process, so
+            # all ranks enter the save together (orbax barriers).
             best_acc = acc1
-            if not is_main_process():
-                continue
             ckpt.save(
                 "best",
                 {"params": jax.device_get(state.params),

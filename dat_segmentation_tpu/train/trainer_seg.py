@@ -32,7 +32,7 @@ from ..parallel import (
     make_train_step,
 )
 from ..parallel.mesh import local_batch_size, process_shard_info, shard_batch
-from ..utils.logging import MetricLogger, is_main_process
+from ..utils.logging import MetricLogger
 from .checkpoint import CheckpointManager, load_pretrained, merge_pretrained
 from .metrics import StreamingIoU
 from .optim import make_optimizer
@@ -215,9 +215,11 @@ def train_segmentation(
             train_iou.reset()
             t0 = time.time()
 
-        # checkpoint writes are rank-0 only (reference: rank-0 torch.save,
-        # new_train.py:228-238); params are replicated so rank 0 holds all
-        if it % cfg.checkpoint_interval == 0 and is_main_process():
+        # ckpt.save must run on EVERY process (orbax barriers across all
+        # hosts; rank-0-only calls deadlock — see CheckpointManager). Only
+        # the primary host touches the filesystem, matching the
+        # reference's rank-0 torch.save (new_train.py:228-238).
+        if it % cfg.checkpoint_interval == 0:
             ckpt.save(
                 it,
                 {
@@ -255,17 +257,19 @@ def train_segmentation(
             history["val_miou"].append(miou)
             logger.log(f"iter {it} val mIoU={miou*100:.2f}")
             if miou > best_miou:
+                # miou is the distributed-reduced value — identical on
+                # every process, so all ranks take this branch together
+                # and orbax's internal barriers line up.
                 best_miou = miou
-                if is_main_process():
-                    ckpt.save(
-                        "best",
-                        {"params": jax.device_get(state.params),
-                         "batch_stats": jax.device_get(state.batch_stats)},
-                        metadata=dict(
-                            {"iter": it, "mIoU": miou},
-                            **_dataset_meta(train_ds),
-                        ),
-                    )
+                ckpt.save(
+                    "best",
+                    {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)},
+                    metadata=dict(
+                        {"iter": it, "mIoU": miou},
+                        **_dataset_meta(train_ds),
+                    ),
+                )
     # fold counters still pending on device so the reported running train
     # mIoU covers every iteration, not just full log_interval windows
     if acc_inter is not None:

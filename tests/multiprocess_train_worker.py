@@ -40,6 +40,15 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Shared persistent compilation cache: both processes (and both topology
+# legs) compile the same SPMD train-step program; on the 1-core CI host
+# duplicate compiles are the dominant wall-clock cost, and cache hits by
+# whoever compiles second cut the 2-process leg roughly in half.
+_cache_dir = os.path.join(os.path.dirname(work_dir), "xla_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 if num_procs > 1:
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}",
@@ -53,20 +62,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dat_segmentation_tpu.configs import get_config
 from dat_segmentation_tpu.configs.schema import replace as cfg_replace
-from dat_segmentation_tpu.data.ade20k import ADE20KDataset, train_transform
+from dat_segmentation_tpu.data.ade20k import (
+    ADE20KDataset,
+    train_transform,
+    val_transform,
+)
 from dat_segmentation_tpu.train.trainer_seg import train_segmentation
 
 
 class _DeterministicADE(ADE20KDataset):
     """Train aug seeded purely by (seed, idx) so the same example yields
     the same augmented crop in every process/epoch — required for the
-    cross-topology loss-trajectory comparison."""
+    cross-topology loss-trajectory comparison. Val resizes to 96x64
+    instead of the production (2048, 512): whole-mode eval of a
+    512x2048 image through the XLA CPU backend costs minutes per
+    process on the 1-core CI host and is exactly what blew the old
+    570-second leg budget; the reduction semantics under test are
+    size-independent."""
 
     def __getitem__(self, idx: int):
         import random as _random
 
         if not self.is_train:
-            return super().__getitem__(idx)
+            img, mask = self.load_raw(idx)
+            img, mask = val_transform(
+                img, mask, crop_size=self.crop_size, img_scale=(96, 64),
+                keep_ratio=self.keep_ratio_val,
+                ignore_index=self.ignore_index,
+            )
+            return {
+                "image": img, "label": mask, "path": str(self.images[idx])
+            }
         img, mask = self.load_raw(idx)
         rng = _random.Random(f"{self.seed}:{idx}")
         img, mask = train_transform(

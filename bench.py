@@ -24,6 +24,7 @@ import jax.numpy as jnp
 # 162.1 (b4) -> 182.3 (b8) -> 189.5 (b16) img/s on v5e.
 BATCH = 16
 SHAPE = (512, 512)
+FWD_ONLY = False
 V5E_PEAK_FLOPS = 197e12  # bf16 peak, TPU v5e (public spec)
 
 
@@ -208,12 +209,19 @@ def main():
     # Train throughput in the same emitted line (a training framework's
     # headline number; the reference trains 2 img/GPU x 8 GPUs = global
     # 16, which fits no-remat on ONE v5e chip since the round-3 scatter
-    # purge: b4 35.3 / b8 43.0 / b16 47.0 img/s/chip).
-    try:
-        train_ips = bench_train(batch=16, emit=False)
-    except Exception as e:  # never let the train leg kill the fwd result
-        print(f"# train bench failed: {e}", file=sys.stderr)
+    # purge: b4 35.3 / b8 43.0 / b16 47.0 img/s/chip). Free the forward
+    # leg's buffers first — the b16 train step was validated against
+    # 16 GB HBM standalone. --fwd-only skips the leg (second 10-25 min
+    # remote compile through the axon tunnel).
+    if FWD_ONLY:
         train_ips = None
+    else:
+        del x, out, variables, fwd, lowered, compiled
+        try:
+            train_ips = bench_train(batch=16, emit=False)
+        except Exception as e:  # never let the train leg kill the fwd result
+            print(f"# train bench failed: {e}", file=sys.stderr)
+            train_ips = None
 
     print(
         json.dumps(
@@ -244,9 +252,14 @@ if __name__ == "__main__":
                     help="benchmark the 224x224 classifier forward instead")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--fwd-only", action="store_true",
+                    help="skip the train-step leg of the default bench")
     args = ap.parse_args()
+    FWD_ONLY = args.fwd_only
     if args.train:
-        bench_train(batch=args.batch or 2, remat=args.remat)
+        # batch 16 = the reference's global batch; fits one chip no-remat
+        # since the round-3 scatter purge (b4 35.3 / b8 43.0 / b16 47.0)
+        bench_train(batch=args.batch or 16, remat=args.remat)
     elif args.cls:
         bench_cls(batch=args.batch or 64)
     else:

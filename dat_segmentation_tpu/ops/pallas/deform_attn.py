@@ -77,6 +77,24 @@ def _lerp_taps(f, size, offset: int = 0):
     )
 
 
+def _confine_to_block(w, size: int):
+    """Zero packed-tap entries outside each group's own K-block.
+
+    ``w`` is (pack, M, pack*size): group j's tap rows built from coords
+    shifted by j*size. For a local coord OUTSIDE [0, size-1] (legal —
+    ``pos`` is unclamped for offset_range_factor >= 0, and
+    reference_points itself exceeds the grid at the borders),
+    ``_lerp_taps`` deposits zeros-padding weight into the NEIGHBORING
+    group's block (e.g. local f = -0.3 puts 0.3 at global tap
+    j*size - 1, the previous group's last row). The unpacked build drops
+    those taps (no row exists); confining each group to its own block
+    reproduces that exactly.
+    """
+    grp = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+    blk = jax.lax.broadcasted_iota(jnp.int32, w.shape, 2) // size
+    return jnp.where(grp == blk, w, 0.0)
+
+
 def _m1_pack(Ns: int, th: int, tw: int, h_g: int) -> int:
     """Sample-group packing factor G for the m1 tap matmul.
 
@@ -539,15 +557,17 @@ def _kernel_v4(
         # (Ns*RT)-row M dim dominates this dot's cost (th, tw ≪ 128 at the
         # narrow stages), so halving the number of passes ~halves it.
         # `pack` > 1 goes further: the Ns samples split into `pack` groups
-        # whose tap rows are shifted into disjoint K-blocks (coords + j*th
-        # — valid because fy ∈ [0, th-1] for real query rows) and
+        # whose tap rows are shifted into disjoint K-blocks (coords + j*th,
+        # confined to each group's own block — see _confine_to_block) and
         # multiplied against a block-diagonal table, cutting the dominant
         # M row count by `pack` for the same result.
         if pack > 1:
             jsh = jax.lax.broadcasted_iota(
                 jnp.int32, (pack, 1), 0
             ).astype(jnp.float32) * th
-            wyg = _lerp_taps(fy.reshape(pack, NsG * RT) + jsh, pack * th)
+            wyg = _confine_to_block(
+                _lerp_taps(fy.reshape(pack, NsG * RT) + jsh, pack * th), th
+            )
             wy = jnp.sum(wyg, axis=0).astype(wdt)  # (NsG*RT, pack*th)
         else:
             wy = _lerp_taps(fy, th).astype(wdt).reshape(Ns * RT, th)
@@ -1142,14 +1162,19 @@ def _kernel_v4_bwd(
             jnp.int32, (pack, 1), 0
         ).astype(jnp.float32) * th
         fyp = fy.reshape(pack, NsG * RT) + jsh
-        wy2 = jnp.sum(_lerp_taps(fyp, pack * th), axis=0).astype(wdt)
+        wy2 = jnp.sum(
+            _confine_to_block(_lerp_taps(fyp, pack * th), th), axis=0
+        ).astype(wdt)
         i0p = jnp.floor(fyp).astype(jnp.int32)[..., None]
         tapsp = jax.lax.broadcasted_iota(
             jnp.int32, (pack, NsG * RT, pack * th), 2
         )
         dtapy2 = jnp.sum(
-            jnp.where(tapsp == i0p + 1, 1.0, 0.0)
-            - jnp.where(tapsp == i0p, 1.0, 0.0),
+            _confine_to_block(
+                jnp.where(tapsp == i0p + 1, 1.0, 0.0)
+                - jnp.where(tapsp == i0p, 1.0, 0.0),
+                th,
+            ),
             axis=0,
         ).astype(wdt)  # (NsG*RT, pack*th)
     else:

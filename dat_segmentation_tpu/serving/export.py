@@ -38,7 +38,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs.schema import ModelConfig
-from ..models import build_model
 
 _FORMAT_VERSION = 1
 
@@ -78,6 +77,8 @@ def export_segmentor(
     """
     from jax import export as jexport
 
+    from ..models import build_model
+
     model = build_model(_portable_cfg(model_cfg, portable))
     variables = _cast_floats(variables, compute_dtype)
 
@@ -107,6 +108,8 @@ def export_classifier(
     """Export the classifier forward: (B, H, W, 3) float32 -> (B, num_classes)
     float32 logits."""
     from jax import export as jexport
+
+    from ..models import build_model
 
     model = build_model(_portable_cfg(model_cfg, portable))
     variables = _cast_floats(variables, compute_dtype)
@@ -279,18 +282,11 @@ def _resize_bilinear(x: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     pure-numpy separable implementation (half-pixel centers, matching
     cv2.INTER_LINEAR / align_corners=False)."""
     try:
-        import cv2
+        import cv2  # noqa: F401 — availability probe
 
-        h, w, c = x.shape
-        out = np.empty((out_hw[0], out_hw[1], c), np.float32)
-        for lo in range(0, c, 4):
-            hi = min(lo + 4, c)
-            out[..., lo:hi] = cv2.resize(
-                np.ascontiguousarray(x[..., lo:hi]),
-                (out_hw[1], out_hw[0]),
-                interpolation=cv2.INTER_LINEAR,
-            ).reshape(out_hw[0], out_hw[1], hi - lo)
-        return out
+        from ..eval.inference import _resize_probs
+
+        return _resize_probs(x, out_hw)
     except ImportError:
         pass
     h, w, _ = x.shape

@@ -46,7 +46,12 @@ def test_two_process_trainer_soak(tmp_path):
         img_dir.mkdir(parents=True)
         ann_dir.mkdir(parents=True)
         for i in range(cnt):
-            rs = np.random.RandomState(hash(split) % 1000 + i)
+            # stable seed: hash() is salted per interpreter (PYTHONHASHSEED),
+            # which would make every run's synthetic dataset different and
+            # any tolerance failure unreproducible
+            rs = np.random.RandomState(
+                {"training": 100, "validation": 200}[split] + i
+            )
             cv2.imwrite(str(img_dir / f"{split}_{i}.jpg"),
                         rs.randint(0, 255, (70, 90, 3), np.uint8))
             cv2.imwrite(str(ann_dir / f"{split}_{i}.png"),
@@ -97,9 +102,12 @@ def test_two_process_trainer_soak(tmp_path):
     np.testing.assert_allclose(
         single["losses"], duo[0]["losses"], rtol=2e-4, atol=1e-5
     )
-    # integer IoU counters reduce exactly
+    # the distributed counter REDUCTION is exact (integers), but the
+    # trained params differ across topologies by reduction-order float
+    # noise, which flips argmax on boundary pixels — near-random early
+    # predictions make mIoU wobble at the 1e-3 absolute level
     np.testing.assert_allclose(
-        single["val_miou"], duo[0]["val_miou"], rtol=1e-6
+        single["val_miou"], duo[0]["val_miou"], atol=5e-3
     )
     # rank 0 wrote the checkpoints; the run produced the expected set
     assert "ckpt_3" in duo[0]["ckpts"] and "ckpt_6" in duo[0]["ckpts"]

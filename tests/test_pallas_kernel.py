@@ -12,13 +12,16 @@ from dat_segmentation_tpu.ops.pallas.deform_attn import (
 )
 
 
-def _inputs(B=2, g=2, h_g=2, hc=16, H=16, W=8, Ns=16, th=15, tw=15, seed=0):
+def _inputs(B=2, g=2, h_g=2, hc=16, H=16, W=8, Ns=16, th=15, tw=15, seed=0,
+            pos_range=1.0):
     rng = np.random.RandomState(seed)
     Cg = h_g * hc
     q = rng.randn(B * g, H, W, Cg).astype(np.float32) * 0.5
     k = rng.randn(B * g, Ns, Cg).astype(np.float32) * 0.5
     v = rng.randn(B * g, Ns, Cg).astype(np.float32) * 0.5
-    pos = rng.uniform(-1, 1, (B * g, Ns, 2)).astype(np.float32)
+    pos = rng.uniform(
+        -pos_range, pos_range, (B * g, Ns, 2)
+    ).astype(np.float32)
     table = rng.randn(g, h_g, th, tw).astype(np.float32) * 0.1
     return map(jnp.asarray, (q, k, v, pos, table))
 
@@ -69,6 +72,49 @@ def test_fused_backward_matches_xla_vjp(shape):
     _, vjp_x = jax.vjp(
         lambda *a: _xla_reference(*a, n_groups=g, scale=scale),
         q, k, v, pos, table,
+    )
+    for name, a, b in zip(
+        ("dq", "dk", "dv", "dpos", "dtable"), vjp_f(dout), vjp_x(dout)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        dict(B=1, g=2, h_g=2, hc=8, H=16, W=16, Ns=256, th=13, tw=13),
+        dict(B=1, g=2, h_g=2, hc=8, H=16, W=32, Ns=256, th=27, tw=27),
+    ],
+)
+def test_packed_kernel_out_of_range_positions(shape, monkeypatch):
+    """pos OUTSIDE [-1, 1] at packed narrow-stage shapes (pack=4/2).
+
+    The module does NOT clamp pos when offset_range_factor >= 0 (the
+    schema default), and reference_points itself exceeds the grid at the
+    borders — zeros-padding taps from a local fy outside [0, th-1] must
+    NOT bleed into the neighboring sample group's K-block (regression:
+    unmasked shifted taps corrupted adjacent groups' bias and
+    dpos/dtable at 1e-4 level)."""
+    monkeypatch.setenv("DAT_TPU_BWD_LAYOUT", "v4")
+    q, k, v, pos, table = _inputs(pos_range=1.2, **shape)
+    g = table.shape[0]
+    scale = (q.shape[-1] // table.shape[1]) ** -0.5
+    dout = jnp.asarray(
+        np.random.RandomState(23).randn(*q.shape).astype(np.float32)
+    )
+    out_f, vjp_f = jax.vjp(
+        lambda *a: fused_deform_attention(*a, g, scale, True, 4, True),
+        q, k, v, pos, table,
+    )
+    out_x, vjp_x = jax.vjp(
+        lambda *a: _xla_reference(*a, n_groups=g, scale=scale),
+        q, k, v, pos, table,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_x), rtol=1e-4, atol=1e-5
     )
     for name, a, b in zip(
         ("dq", "dk", "dv", "dpos", "dtable"), vjp_f(dout), vjp_x(dout)

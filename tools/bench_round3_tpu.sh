@@ -34,4 +34,7 @@ run cls_b64   3600 python bench.py --cls
 # 3. Model-level fwd with packing disabled (attribution).
 run fwd_b16_unpacked 3600 env DAT_TPU_M1PACK=1 python bench.py
 
+# 4. Train operating-point probe: does b32 beat the b16 47.0 img/s?
+run train_b32 3600 python bench.py --train --batch 32
+
 echo "done; logs in $OUT"

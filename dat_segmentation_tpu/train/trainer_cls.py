@@ -35,6 +35,7 @@ from ..parallel.mesh import local_batch_size, process_shard_info, shard_batch
 from ..utils.logging import MetricLogger, weight_stats
 from .checkpoint import CheckpointManager, load_pretrained, merge_pretrained, save_backbone_only
 from .optim import make_optimizer
+from .preemption import PreemptionGuard
 from .trainer_seg import build_schedule
 
 
@@ -121,6 +122,8 @@ def train_classifier(
     best_acc = -1.0
     history = {"train_loss": [], "val_acc1": [], "val_acc5": []}
     start_epoch = int(state.step) // spe
+    guard = PreemptionGuard()
+    preempted = False
     for epoch in range(start_epoch, n_epochs):
         loader = DataLoader(
             train_ds, local_bs, shuffle=True, drop_last=True,
@@ -135,6 +138,26 @@ def train_classifier(
                 break
             state, metrics = step_fn(state, batch, rng)
             seen += cfg.data.batch_size
+            # graceful preemption: resumable mid-epoch checkpoint at a
+            # step all processes agree on (resume restarts this epoch
+            # from its beginning — int(step) // spe)
+            if guard.should_checkpoint(int(state.step)):
+                logger.log(
+                    f"preemption notice: checkpointing at step "
+                    f"{int(state.step)} (epoch {epoch})"
+                )
+                ckpt.save(
+                    epoch + 1,
+                    {
+                        "step": np.asarray(state.step),
+                        "params": jax.device_get(state.params),
+                        "opt_state": jax.device_get(state.opt_state),
+                        "batch_stats": jax.device_get(state.batch_stats),
+                    },
+                    metadata={"epoch": epoch, "preempted": True},
+                )
+                preempted = True
+                break
             if (bi + 1) % cfg.log_interval == 0:
                 logger.log(
                     f"epoch {epoch} it {bi+1} loss={float(metrics['loss']):.4f} "
@@ -157,6 +180,8 @@ def train_classifier(
                     update_ratio=float(metrics["update_ratio"]),
                     **flat,
                 )
+        if preempted:
+            break
         history["train_loss"].append(float(metrics["loss"]))
 
         # ---- validation (top-1/5; train_backbone.py:145-170) -----------
@@ -234,4 +259,5 @@ def train_classifier(
                 str(work_dir / "backbone_best"),
                 jax.device_get(state.params),
             )
+    guard.close()
     return state, history

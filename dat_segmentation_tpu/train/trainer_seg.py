@@ -35,6 +35,7 @@ from ..parallel.mesh import local_batch_size, process_shard_info, shard_batch
 from ..utils.logging import MetricLogger
 from .checkpoint import CheckpointManager, load_pretrained, merge_pretrained
 from .metrics import StreamingIoU
+from .preemption import PreemptionGuard
 from .optim import make_optimizer
 from .schedules import warmup_cosine_schedule, warmup_poly_schedule
 
@@ -189,11 +190,35 @@ def train_segmentation(
     # a D2H transfer every iteration (reference's loop is equally
     # non-blocking, new_train.py:210-216).
     acc_inter = acc_union = None
+    guard = PreemptionGuard()
     for batch in batches:
         if it >= total:
             break
         state, metrics = step_fn(state, batch, rng)
         it += 1
+
+        # graceful preemption (SIGTERM): one final resumable checkpoint
+        # at a step all processes agree on, then a clean exit — --resume
+        # continues from here (the reference loses up to a full
+        # checkpoint_interval of work)
+        if guard.should_checkpoint(it):
+            logger.log(f"preemption notice: checkpointing at iter {it}")
+            ckpt.save(
+                it,
+                {
+                    "step": np.asarray(state.step),
+                    "params": jax.device_get(state.params),
+                    "opt_state": jax.device_get(state.opt_state),
+                    "batch_stats": jax.device_get(state.batch_stats),
+                },
+                metadata=dict(
+                    {"iter": it, "preempted": True,
+                     "config": dataclasses.asdict(cfg)},
+                    **_dataset_meta(train_ds),
+                ),
+            )
+            guard.close()
+            break
         if acc_inter is None:
             acc_inter, acc_union = metrics["inter"], metrics["union"]
         else:
@@ -270,6 +295,7 @@ def train_segmentation(
                         **_dataset_meta(train_ds),
                     ),
                 )
+    guard.close()
     # fold counters still pending on device so the reported running train
     # mIoU covers every iteration, not just full log_interval windows
     if acc_inter is not None:

@@ -246,3 +246,70 @@ def test_mixup_cutmix_properties():
         assert targets.shape == (4, 5)
         np.testing.assert_allclose(np.asarray(targets.sum(-1)), 1.0, rtol=1e-5)
         assert np.asarray(targets).min() > 0  # smoothing floor
+
+
+def test_train_seg_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-run -> one resumable checkpoint at the current iter and
+    a clean exit; --resume continues from it (train/preemption.py)."""
+    import signal
+
+    from dat_segmentation_tpu.data.ade20k import ADE20KDataset
+    from dat_segmentation_tpu.train.trainer_seg import train_segmentation
+
+    class _SignalingADE(ADE20KDataset):
+        """Raises SIGTERM in-process after serving a few train samples —
+        the python handler runs on the main thread, so the trainer sees
+        the preemption flag at the next iteration boundary."""
+
+        served = 0
+
+        def __getitem__(self, idx):
+            if self.is_train:
+                _SignalingADE.served += 1
+                if _SignalingADE.served == 5:
+                    signal.raise_signal(signal.SIGTERM)
+            return super().__getitem__(idx)
+
+    root = _seg_data(tmp_path / "data")
+    cfg = _tiny_bb(get_config("upn_tiny_160k_dp03_lr6"), classes=20)
+    cfg = cfg_replace(
+        cfg,
+        **{
+            "data.data_root": str(root),
+            "data.batch_size": 2,
+            "data.crop_size": (64, 64),
+            "data.num_workers": 1,
+            "schedule.max_iters": 50,
+            "schedule.warmup_iters": 1,
+            "log_interval": 100,
+            "checkpoint_interval": 1000,  # never: only the preempt save
+            "eval_interval": 1000,
+            "work_dir": str(tmp_path / "work"),
+            "dtype": "float32",
+            "name": "preempt",
+            "mesh_shape": {"data": 2},
+        },
+    )
+    state, _ = train_segmentation(
+        cfg, max_iters=50, eval_max_images=1, dataset_cls=_SignalingADE
+    )
+    stopped_at = int(state.step)
+    assert 0 < stopped_at < 50  # exited early, not at max_iters
+    work = Path(cfg.work_dir) / "preempt"
+    ckpts = sorted(p.name for p in work.glob("ckpt_*") if p.is_dir())
+    assert ckpts == [f"ckpt_{stopped_at}"]
+    import json
+
+    meta = json.loads((work / f"ckpt_{stopped_at}.meta.json").read_text())
+    assert meta["preempted"] is True
+
+    # default SIGTERM disposition restored after the run
+    assert signal.getsignal(signal.SIGTERM) in (
+        signal.SIG_DFL, signal.default_int_handler,
+    )
+
+    # resume completes the remaining iterations from the preempt point
+    state2, _ = train_segmentation(
+        cfg, max_iters=stopped_at + 2, resume=True, eval_max_images=1
+    )
+    assert int(state2.step) == stopped_at + 2

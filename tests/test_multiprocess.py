@@ -21,6 +21,20 @@ from pathlib import Path
 import pytest
 
 
+def _parse_result(out: str, err: str) -> dict:
+    """Last parseable '{"proc"...}' line; full diagnostics on failure
+    (a starved/odd worker can emit noise around the result line)."""
+    for ln in reversed(out.strip().splitlines()):
+        if ln.startswith('{"proc"'):
+            try:
+                return json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+    raise AssertionError(
+        f"no parseable result line:\n{out[-2000:]}\n{err[-2000:]}"
+    )
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -83,12 +97,7 @@ def test_two_process_trainer_soak(tmp_path):
             # programs differ across topologies, so leg 2 compiles fresh)
             out, err = p.communicate(timeout=1500)
             assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
-            lines = [
-                ln for ln in out.strip().splitlines()
-                if ln.startswith('{"proc"')
-            ]
-            assert lines, f"no result line:\n{out[-2000:]}\n{err[-2000:]}"
-            outs.append(json.loads(lines[-1]))
+            outs.append(_parse_result(out, err))
         return outs
 
     single = run(1, tmp_path / "work1")[0]
@@ -135,11 +144,7 @@ def test_two_process_data_parallel_contract():
     for p in procs:
         out, err = p.communicate(timeout=570)
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-        payload = [
-            ln for ln in out.strip().splitlines() if ln.startswith('{"proc"')
-        ]
-        assert payload, f"no result line in worker output:\n{out[-2000:]}\n{err[-2000:]}"
-        outs.append(json.loads(payload[-1]))
+        outs.append(_parse_result(out, err))
 
     # disjoint loader shards covering the 8-item dataset
     idx0 = set(outs[0]["local_indices"])

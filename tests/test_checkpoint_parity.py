@@ -248,3 +248,52 @@ def test_classifier_parity():
     with torch.no_grad():
         ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_convert_cli_backbone(tmp_path, monkeypatch):
+    """tools/convert.py: reference torch .pth -> orbax dir, reloadable by
+    load_pretrained, with every backbone leaf equal to the converter's
+    in-memory output."""
+    import sys
+
+    import tools.convert as cli
+    import tools.train as train_cli
+
+    from dat_segmentation_tpu.configs import get_config
+    from dat_segmentation_tpu.configs.schema import replace as cfg_replace
+    from dat_segmentation_tpu.train.checkpoint import load_pretrained
+
+    bb = _mini_backbone_cfg()
+    tm = _torch_backbone(bb)
+    pth = tmp_path / "bb.pth"
+    torch.save(tm.state_dict(), str(pth))
+
+    full = get_config("upn_tiny_160k_dp03_lr6")
+    model = dataclasses.replace(
+        full.model,
+        backbone=bb,
+        decode_head=dataclasses.replace(
+            full.model.decode_head, channels=16, num_classes=11
+        ),
+        auxiliary_head=None,
+        num_classes=11,
+    )
+    cfg = cfg_replace(
+        dataclasses.replace(full, model=model), **{"data.crop_size": (64, 64)}
+    )
+    monkeypatch.setattr(train_cli, "load_config", lambda name: cfg)
+    out = tmp_path / "orbax"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["convert.py", "tiny", str(pth), str(out), "--kind", "backbone"],
+    )
+    cli.main()
+
+    restored = load_pretrained(str(out), cfg.model)
+    want, _ = tc.convert_backbone(_state_dict_np(tm), bb)
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(
+        restored["params"]["backbone"])[0])
+    flat_w = dict(jax.tree_util.tree_flatten_with_path(want)[0])
+    assert set(flat_r) == set(flat_w)
+    for k, v in flat_w.items():
+        np.testing.assert_array_equal(np.asarray(flat_r[k]), np.asarray(v))

@@ -122,3 +122,48 @@ def test_full_scale_backbone_and_segmentor_drift():
     assert err < 1e-5, err
     # the quantity mIoU actually consumes: predicted class agreement
     assert agree > 0.9999, agree
+
+
+def test_full_scale_classifier_drift():
+    """Classifier leg at the REAL cls_tiny geometry (26 blocks, 224^2
+    ImageNet shape, ClsHead): converter + NHWC forward vs reference
+    torch, f32 CPU — completes the full-scale gate for the pretraining
+    path (the segmentor test above covers the 512^2 seg path)."""
+    cfg = get_config("cls_tiny_imagenet").model
+    bb = dataclasses.replace(cfg.backbone, drop_path_rate=0.0,
+                             use_checkpoint=False)
+    assert sum(bb.depths) == 26  # the real DAT-T++ depth
+
+    tm_bb = _torch_backbone(bb)
+    import models.heads.cls_head  # noqa: F401  (reference submodule)
+
+    t_head = ref_models.heads.cls_head.ClsHead(
+        in_channels=list(bb.dims), num_classes=cfg.num_classes
+    )
+
+    class TorchCls(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = tm_bb
+            self.head = t_head
+
+        def forward(self, x):
+            return self.head(self.backbone(x))
+
+    tmodel = TorchCls().eval()
+    _randomize(tmodel, 11)
+
+    model_cfg = dataclasses.replace(cfg, backbone=bb)
+    variables = tc.convert_classifier(_state_dict_np(tmodel), model_cfg)
+    ours = build_model(model_cfg)
+    x = np.random.RandomState(3).randn(2, 224, 224, 3).astype(np.float32)
+    got = np.asarray(ours.apply(variables, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    err = np.abs(got - ref).max()
+    scale = np.abs(ref).max()
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    print(f"[full-scale parity] cls logits: max|dx|={err:.2e} "
+          f"(scale {scale:.2f}), argmax agreement={agree*100:.1f}%")
+    assert err < 1e-5, err
+    assert agree == 1.0, agree

@@ -230,10 +230,17 @@ def evaluate_dataset(
     from ..train.metrics import miou_from_totals
 
     _, per_class = miou_from_totals(iou.inter, iou.union)
+    # per-class Acc = inter / GT area (mmseg's per-class table columns)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        per_acc = np.where(
+            iou.area_label > 0, iou.inter / np.maximum(iou.area_label, 1),
+            np.nan,
+        )
     result = {
         "mIoU": miou,
         "aAcc": iou.accuracy(),
         "per_class_iou": [None if np.isnan(v) else float(v) for v in per_class],
+        "per_class_acc": [None if np.isnan(v) else float(v) for v in per_acc],
         "num_images": done,
         "inter": iou.inter.tolist(),
         "union": iou.union.tolist(),

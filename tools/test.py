@@ -120,6 +120,23 @@ def main():
         batch_size=args.batch_size,
         distributed=args.distributed,
     )
+    # per-class table like mmseg's --eval mIoU output (dataset.evaluate
+    # prints Class | IoU | Acc via prettytable; reference tools/test.py:300)
+    from dat_segmentation_tpu.data.ade20k import ADE20K_CLASSES
+
+    names = (
+        ADE20K_CLASSES
+        if cfg.model.num_classes == len(ADE20K_CLASSES)
+        else [str(i) for i in range(cfg.model.num_classes)]
+    )
+    width = max(len(n) for n in names)
+    print(f"{'Class':<{width}}  {'IoU':>6}  {'Acc':>6}")
+    for name, iou_v, acc_v in zip(
+        names, res["per_class_iou"], res["per_class_acc"]
+    ):
+        iou_s = "nan" if iou_v is None else f"{iou_v*100:.2f}"
+        acc_s = "nan" if acc_v is None else f"{acc_v*100:.2f}"
+        print(f"{name:<{width}}  {iou_s:>6}  {acc_s:>6}")
     print(f"mIoU: {res['mIoU']*100:.2f}  aAcc: {res['aAcc']*100:.2f}")
     if args.out:
         Path(args.out).write_text(json.dumps(res))

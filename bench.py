@@ -12,11 +12,30 @@ baseline axis; vs_baseline 1.0 == 100% of roofline).
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _with_kernel_fallbacks(leg):
+    """Run a bench leg; on failure retry with progressively safer kernel
+    settings (packing off, then the XLA composite). The Pallas paths are
+    interpret-verified on CPU but Mosaic legality only surfaces on real
+    TPU — a driver bench run must degrade, never die, if the backend
+    revision rejects a kernel."""
+    attempts = ({}, {"DAT_TPU_M1PACK": "1"}, {"DAT_TPU_KERNEL": "xla"})
+    err = None
+    for env in attempts:
+        os.environ.update(env)
+        try:
+            return leg()
+        except Exception as e:  # noqa: BLE001 — any compile/exec failure
+            print(f"# bench leg failed (env={env}): {e!r}", file=sys.stderr)
+            err = e
+    raise err
 
 
 # Large batches fit HBM since the fused v2 kernel stopped materializing
@@ -166,41 +185,46 @@ def main():
     from dat_segmentation_tpu.configs import get_config
     from dat_segmentation_tpu.models import build_model
 
-    cfg = get_config("fpn_tiny_80k_dp04_lr2")
-    model = build_model(cfg.model)
+    def _fwd_leg():
+        cfg = get_config("fpn_tiny_80k_dp04_lr2")
+        model = build_model(cfg.model)
 
-    x = jnp.zeros((BATCH, *SHAPE, 3), jnp.bfloat16)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
-    variables = jax.tree.map(
-        lambda v: v.astype(jnp.bfloat16)
-        if jnp.issubdtype(v.dtype, jnp.floating)
-        else v,
-        variables,
-    )
+        x = jnp.zeros((BATCH, *SHAPE, 3), jnp.bfloat16)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, x, train=False
+        )
+        variables = jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16)
+            if jnp.issubdtype(v.dtype, jnp.floating)
+            else v,
+            variables,
+        )
 
-    @jax.jit
-    def fwd(image):
-        return model.apply(variables, image, train=False)
+        @jax.jit
+        def fwd(image):
+            return model.apply(variables, image, train=False)
 
-    lowered = fwd.lower(x)
-    compiled = lowered.compile()
-    cost = compiled.cost_analysis()
-    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        compiled = fwd.lower(x).compile()
+        cost = compiled.cost_analysis()
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
 
-    # warmup. NOTE: under the axon tunnel block_until_ready resolves
-    # before execution completes; a device_get of real bytes is the only
-    # trustworthy sync. The device executes in-order, so fetching the
-    # last program's output waits for all of them.
-    for _ in range(3):
-        _fetch(fwd(x))
+        # warmup. NOTE: under the axon tunnel block_until_ready resolves
+        # before execution completes; a device_get of real bytes is the
+        # only trustworthy sync. The device executes in-order, so fetching
+        # the last program's output waits for all of them.
+        for _ in range(3):
+            _fetch(fwd(x))
 
-    iters = 20
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fwd(x)
-    _fetch(out)
-    dt = time.perf_counter() - t0
+        iters = 20
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fwd(x)
+        _fetch(out)
+        dt = time.perf_counter() - t0
+        return flops, iters, dt
+
+    flops, iters, dt = _with_kernel_fallbacks(_fwd_leg)
 
     ips = BATCH * iters / dt
     achieved_flops = flops * iters / dt if flops else 0.0
@@ -216,9 +240,10 @@ def main():
     if FWD_ONLY:
         train_ips = None
     else:
-        del x, out, variables, fwd, lowered, compiled
         try:
-            train_ips = bench_train(batch=16, emit=False)
+            train_ips = _with_kernel_fallbacks(
+                lambda: bench_train(batch=16, emit=False)
+            )
         except Exception as e:  # never let the train leg kill the fwd result
             print(f"# train bench failed: {e}", file=sys.stderr)
             train_ips = None
@@ -259,9 +284,11 @@ if __name__ == "__main__":
     if args.train:
         # batch 16 = the reference's global batch; fits one chip no-remat
         # since the round-3 scatter purge (b4 35.3 / b8 43.0 / b16 47.0)
-        bench_train(batch=args.batch or 16, remat=args.remat)
+        _with_kernel_fallbacks(
+            lambda: bench_train(batch=args.batch or 16, remat=args.remat)
+        )
     elif args.cls:
-        bench_cls(batch=args.batch or 64)
+        _with_kernel_fallbacks(lambda: bench_cls(batch=args.batch or 64))
     else:
         if args.batch:
             BATCH = args.batch

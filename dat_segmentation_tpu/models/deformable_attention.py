@@ -157,7 +157,12 @@ class DeformableAttention(nn.Module):
         # (2.35x at stage-0 128x128), so on TPU it is used unconditionally.
         impl = self.kernel_impl
         if impl == "auto":
-            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            # DAT_TPU_KERNEL overrides the auto choice ('xla'|'pallas') —
+            # the escape hatch benches use to fall back if a Pallas path
+            # fails Mosaic compilation on a new backend revision.
+            impl = os.environ.get("DAT_TPU_KERNEL", "") or (
+                "pallas" if jax.default_backend() == "tpu" else "xla"
+            )
         use_pallas = (
             impl == "pallas"
             and self.use_pe

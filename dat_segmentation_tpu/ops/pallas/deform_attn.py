@@ -77,22 +77,55 @@ def _lerp_taps(f, size, offset: int = 0):
     )
 
 
-def _confine_to_block(w, size: int):
-    """Zero packed-tap entries outside each group's own K-block.
+def _packed_taps(fy, pack: int, size: int, deriv: bool = False):
+    """Block-diagonal packed tap rows (M/pack, pack*size) from (Ns, RT)
+    coords, built group-by-group with Mosaic-legal shape casts only.
 
-    ``w`` is (pack, M, pack*size): group j's tap rows built from coords
-    shifted by j*size. For a local coord OUTSIDE [0, size-1] (legal —
-    ``pos`` is unclamped for offset_range_factor >= 0, and
-    reference_points itself exceeds the grid at the borders),
-    ``_lerp_taps`` deposits zeros-padding weight into the NEIGHBORING
-    group's block (e.g. local f = -0.3 puts 0.3 at global tap
-    j*size - 1, the previous group's last row). The unpacked build drops
-    those taps (no row exists); confining each group to its own block
-    reproduces that exactly.
+    Group j's rows are its coords shifted into K-block j (taps
+    [j*size, (j+1)*size)) so one (NsG*RT, pack*size) matmul against a
+    block-diagonal table computes every group at once with pack x fewer
+    M rows. Two legality constraints shape the construction:
+
+    * Each group is carved out with a SUBLANE slice fy[j*NsG:(j+1)*NsG]
+      and collapsed with the known-good (NsG, RT, t)->(NsG*RT, t) cast.
+      The one-shot fy.reshape(pack, NsG*RT) form is a lane-changing
+      reshape Mosaic rejects ("unsupported shape cast" (256, 32) ->
+      (2, 4096) on v5e).
+    * Taps are CONFINED to each group's own K-block. For a local coord
+      OUTSIDE [0, size-1] (legal — ``pos`` is unclamped for
+      offset_range_factor >= 0, and reference_points itself exceeds the
+      grid at the borders), ``_lerp_taps`` would deposit zeros-padding
+      weight into the NEIGHBORING group's block (local f = -0.3 puts
+      0.3 at global tap j*size - 1, the previous group's last row). The
+      unpacked build drops those taps (no row exists); masking each
+      group to its own block reproduces that exactly.
+
+    With ``deriv`` also returns the packed d(tap)/d(coord) rows (the
+    -1/+1 one-hot subgradient pair), confined the same way.
     """
-    grp = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
-    blk = jax.lax.broadcasted_iota(jnp.int32, w.shape, 2) // size
-    return jnp.where(grp == blk, w, 0.0)
+    Ns, RT = fy.shape
+    NsG = Ns // pack
+    blk = (
+        jax.lax.broadcasted_iota(jnp.int32, (NsG * RT, pack * size), 1)
+        // size
+    )
+    wy = jnp.zeros((NsG * RT, pack * size), jnp.float32)
+    dt = jnp.zeros((NsG * RT, pack * size), jnp.float32) if deriv else None
+    for j in range(pack):
+        fy_j = fy[j * NsG : (j + 1) * NsG] + j * size  # (NsG, RT) sublanes
+        w_j = _lerp_taps(fy_j, pack * size).reshape(NsG * RT, pack * size)
+        wy = wy + jnp.where(blk == j, w_j, 0.0)
+        if deriv:
+            i0 = jnp.floor(fy_j).astype(jnp.int32)[..., None]
+            taps = jax.lax.broadcasted_iota(
+                jnp.int32, (NsG, RT, pack * size), 2
+            )
+            d_j = (
+                jnp.where(taps == i0 + 1, 1.0, 0.0)
+                - jnp.where(taps == i0, 1.0, 0.0)
+            ).reshape(NsG * RT, pack * size)
+            dt = dt + jnp.where(blk == j, d_j, 0.0)
+    return (wy, dt) if deriv else wy
 
 
 def _m1_pack(Ns: int, th: int, tw: int, h_g: int) -> int:
@@ -558,17 +591,11 @@ def _kernel_v4(
         # narrow stages), so halving the number of passes ~halves it.
         # `pack` > 1 goes further: the Ns samples split into `pack` groups
         # whose tap rows are shifted into disjoint K-blocks (coords + j*th,
-        # confined to each group's own block — see _confine_to_block) and
+        # confined to each group's own block — see _packed_taps) and
         # multiplied against a block-diagonal table, cutting the dominant
         # M row count by `pack` for the same result.
         if pack > 1:
-            jsh = jax.lax.broadcasted_iota(
-                jnp.int32, (pack, 1), 0
-            ).astype(jnp.float32) * th
-            wyg = _confine_to_block(
-                _lerp_taps(fy.reshape(pack, NsG * RT) + jsh, pack * th), th
-            )
-            wy = jnp.sum(wyg, axis=0).astype(wdt)  # (NsG*RT, pack*th)
+            wy = _packed_taps(fy, pack, th).astype(wdt)  # (NsG*RT, pack*th)
         else:
             wy = _lerp_taps(fy, th).astype(wdt).reshape(Ns * RT, th)
         m1a = jax.lax.dot_general(
@@ -877,11 +904,18 @@ def _kernel_v2_bwd(
     scale: float,
     Hn: int,
     Wn: int,
+    nobias: bool = False,
 ):
     """Fused backward: recomputes p tile-by-tile in VMEM (same math as
     the forward kernel) and emits all five input gradients without ever
     materializing the (HW x Ns) attention/bias tensors in HBM — the XLA
     recompute backward it replaces was paying that full HBM round-trip.
+
+    ``nobias`` mirrors the forward kernels' DAT_TPU_KERNEL_NOBIAS debug
+    knob: the softmax recompute skips the RPE bias and the whole
+    bias-path gradient tail is elided (dpos/dtable stay zero), so
+    attribution benches measure — and differentiate — the same function
+    the nobias forward computes.
     """
     Ns = pos_ref.shape[1]
     t = pl.program_id(1)
@@ -898,23 +932,27 @@ def _kernel_v2_bwd(
         dpos_ref[...] = jnp.zeros(dpos_ref.shape, dpos_ref.dtype)
         dtbl_ref[...] = jnp.zeros(dtbl_ref.shape, dtbl_ref.dtype)
 
-        def body(i, carry):
-            xg = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, XC), 1) + i * XC
-            ).astype(jnp.float32)
-            xg = xg / max(Wn - 1.0, 1.0) * 2.0 - 1.0
-            dx = (xg - px[:, None]) * 0.5
-            fx = (dx + 1.0) * 0.5 * (tw - 1)
-            wx_ref[:, pl.ds(i * XC, XC), :] = _lerp_taps(fx, tw).astype(wdt)
-            i0x = jnp.floor(fx).astype(jnp.int32)[..., None]
-            tapsx = jax.lax.broadcasted_iota(jnp.int32, (Ns, XC, tw), 2)
-            dtapx_ref[:, pl.ds(i * XC, XC), :] = (
-                jnp.where(tapsx == i0x + 1, 1.0, 0.0)
-                - jnp.where(tapsx == i0x, 1.0, 0.0)
-            ).astype(wdt)
-            return carry
+        if not nobias:
 
-        jax.lax.fori_loop(0, W // XC, body, 0)
+            def body(i, carry):
+                xg = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, XC), 1) + i * XC
+                ).astype(jnp.float32)
+                xg = xg / max(Wn - 1.0, 1.0) * 2.0 - 1.0
+                dx = (xg - px[:, None]) * 0.5
+                fx = (dx + 1.0) * 0.5 * (tw - 1)
+                wx_ref[:, pl.ds(i * XC, XC), :] = _lerp_taps(fx, tw).astype(
+                    wdt
+                )
+                i0x = jnp.floor(fx).astype(jnp.int32)[..., None]
+                tapsx = jax.lax.broadcasted_iota(jnp.int32, (Ns, XC, tw), 2)
+                dtapx_ref[:, pl.ds(i * XC, XC), :] = (
+                    jnp.where(tapsx == i0x + 1, 1.0, 0.0)
+                    - jnp.where(tapsx == i0x, 1.0, 0.0)
+                ).astype(wdt)
+                return carry
+
+            jax.lax.fori_loop(0, W // XC, body, 0)
 
     # --- recompute fy / wy / m1 for this row tile (as in the forward)
     yg = jax.lax.broadcasted_iota(jnp.int32, (1, RT), 1).astype(jnp.float32)
@@ -923,15 +961,16 @@ def _kernel_v2_bwd(
     fy = (dy + 1.0) * 0.5 * (th - 1)
     wy = _lerp_taps(fy, th).astype(wdt)  # (Ns, RT, th)
     wy2 = wy.reshape(Ns * RT, th)
-    for h in range(h_g):
-        m1 = jax.lax.dot_general(
-            wy2, tbl_ref[0, h].astype(wdt),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m1_ref[:, h * RT : (h + 1) * RT, :] = m1.astype(wdt).reshape(
-            Ns, RT, tw
-        )
+    if not nobias:
+        for h in range(h_g):
+            m1 = jax.lax.dot_general(
+                wy2, tbl_ref[0, h].astype(wdt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m1_ref[:, h * RT : (h + 1) * RT, :] = m1.astype(wdt).reshape(
+                Ns, RT, tw
+            )
 
     # d(lerp taps)/d(coord): -1 at tap floor(f), +1 at floor(f)+1 (the
     # same subgradient lerp_weight_matrix's autodiff produces); OOB taps
@@ -945,11 +984,14 @@ def _kernel_v2_bwd(
     dtapy2 = dtapy.reshape(Ns * RT, th)
 
     # bias for every head at once: (Ns, h_g*RT, W), M = h_g*RT MXU rows
-    bias_all = jax.lax.dot_general(
-        m1_ref[...], wx_ref[...],
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+    if nobias:
+        bias_all = None
+    else:
+        bias_all = jax.lax.dot_general(
+            m1_ref[...], wx_ref[...],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
 
     k = k_ref[0]
     v = v_ref[0]
@@ -969,7 +1011,9 @@ def _kernel_v2_bwd(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (Ns, W)
-            s = s * scale + bias_all[:, h * RT + r, :]
+            s = s * scale
+            if not nobias:
+                s = s + bias_all[:, h * RT + r, :]
             s = s - jnp.max(s, axis=0, keepdims=True)
             p = jnp.exp(s)
             p = p / jnp.sum(p, axis=0, keepdims=True)
@@ -990,7 +1034,8 @@ def _kernel_v2_bwd(
             # softmax backward over Ns (axis 0)
             ds = p * (dp - jnp.sum(p * dp, axis=0, keepdims=True))
             ds_lo = ds.astype(wdt)
-            ds_ref[:, h * RT + r, :] = ds
+            if not nobias:
+                ds_ref[:, h * RT + r, :] = ds
 
             # dq[x, c] = scale * sum_n ds[n, x] k[n, c]
             dq_rh = jax.lax.dot_general(
@@ -1010,6 +1055,9 @@ def _kernel_v2_bwd(
 
         dk_ref[0, :, h * hc : (h + 1) * hc] += dk_h
         dv_ref[0, :, h * hc : (h + 1) * hc] += dv_h
+
+    if nobias:  # bias path elided: dpos/dtable stay at their zero init
+        return
 
     # --- bias-path gradients, all heads folded (dbias == ds)
     ds_all = ds_ref[...].astype(wdt)  # (Ns, h_g*RT, W)
@@ -1091,6 +1139,7 @@ def _kernel_v4_bwd(
     Hn: int,
     Wn: int,
     pack: int = 1,
+    nobias: bool = False,
 ):
     """Query-major backward for narrow-W stages (the v4 forward's layout,
     VERDICT r2 weak #2: the v2-layout backward's per-row (., W)-lane dots
@@ -1114,6 +1163,8 @@ def _kernel_v4_bwd(
         dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
         dpos_ref[...] = jnp.zeros(dpos_ref.shape, dpos_ref.dtype)
         dtbl_ref[...] = jnp.zeros(dtbl_ref.shape, dtbl_ref.dtype)
+        if nobias:
+            return
         if pack > 1:
             tall_ref[...] = jnp.zeros(tall_ref.shape, wdt)
             wx_ref[...] = jnp.zeros(wx_ref.shape, wdt)
@@ -1157,62 +1208,51 @@ def _kernel_v4_bwd(
     yg = (yg + t * RT) / max(Hn - 1.0, 1.0) * 2.0 - 1.0
     dy = (yg - py[:, None]) * 0.5
     fy = (dy + 1.0) * 0.5 * (th - 1)
-    if pack > 1:
-        jsh = jax.lax.broadcasted_iota(
-            jnp.int32, (pack, 1), 0
-        ).astype(jnp.float32) * th
-        fyp = fy.reshape(pack, NsG * RT) + jsh
-        wy2 = jnp.sum(
-            _confine_to_block(_lerp_taps(fyp, pack * th), th), axis=0
-        ).astype(wdt)
-        i0p = jnp.floor(fyp).astype(jnp.int32)[..., None]
-        tapsp = jax.lax.broadcasted_iota(
-            jnp.int32, (pack, NsG * RT, pack * th), 2
-        )
-        dtapy2 = jnp.sum(
-            _confine_to_block(
-                jnp.where(tapsp == i0p + 1, 1.0, 0.0)
-                - jnp.where(tapsp == i0p, 1.0, 0.0),
-                th,
-            ),
-            axis=0,
-        ).astype(wdt)  # (NsG*RT, pack*th)
+    if nobias:
+        bias_qm = None
+        wy2 = dtapy2 = None
     else:
-        wy2 = _lerp_taps(fy, th).astype(wdt).reshape(Ns * RT, th)
-        i0y = jnp.floor(fy).astype(jnp.int32)[..., None]
-        tapsy = jax.lax.broadcasted_iota(jnp.int32, (Ns, RT, th), 2)
-        dtapy2 = (
-            jnp.where(tapsy == i0y + 1, 1.0, 0.0)
-            - jnp.where(tapsy == i0y, 1.0, 0.0)
-        ).astype(wdt).reshape(Ns * RT, th)
-    m1a = jax.lax.dot_general(
-        wy2, tall_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(wdt)  # (NsG*RT, pack*h_g*tw)
-    for j in range(pack):
-        for h in range(h_g):
-            m1_ref[
-                :, h * RT : (h + 1) * RT, j * tw : (j + 1) * tw
-            ] = m1a[
-                :, j * h_g * tw + h * tw : j * h_g * tw + (h + 1) * tw
-            ].reshape(NsG, RT, tw)
+        if pack > 1:
+            wy2, dtapy2 = _packed_taps(fy, pack, th, deriv=True)
+            wy2 = wy2.astype(wdt)
+            dtapy2 = dtapy2.astype(wdt)  # (NsG*RT, pack*th)
+        else:
+            wy2 = _lerp_taps(fy, th).astype(wdt).reshape(Ns * RT, th)
+            i0y = jnp.floor(fy).astype(jnp.int32)[..., None]
+            tapsy = jax.lax.broadcasted_iota(jnp.int32, (Ns, RT, th), 2)
+            dtapy2 = (
+                jnp.where(tapsy == i0y + 1, 1.0, 0.0)
+                - jnp.where(tapsy == i0y, 1.0, 0.0)
+            ).astype(wdt).reshape(Ns * RT, th)
+        m1a = jax.lax.dot_general(
+            wy2, tall_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(wdt)  # (NsG*RT, pack*h_g*tw)
+        for j in range(pack):
+            for h in range(h_g):
+                m1_ref[
+                    :, h * RT : (h + 1) * RT, j * tw : (j + 1) * tw
+                ] = m1a[
+                    :, j * h_g * tw + h * tw : j * h_g * tw + (h + 1) * tw
+                ].reshape(NsG, RT, tw)
 
-    # bias recompute as a group-packed batched matmul (Ns/pack batch
-    # elements against block-diag x-taps), then per-group transposes into
-    # query-major rows (h, r, x), lanes back in (j, n_local) = n order
-    bias_p = jax.lax.dot_general(
-        m1_ref[...], wx_ref[...],
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (NsG, h_g*RT, pack*W)
-    bias_qm = jnp.concatenate(
-        [
-            jnp.transpose(bias_p[:, :, j * W : (j + 1) * W], (1, 2, 0))
-            for j in range(pack)
-        ],
-        axis=2,
-    ).reshape(h_g * RT * W, Ns)
+        # bias recompute as a group-packed batched matmul (Ns/pack batch
+        # elements against block-diag x-taps), then per-group transposes
+        # into query-major rows (h, r, x), lanes back in (j, n_local) = n
+        # order
+        bias_p = jax.lax.dot_general(
+            m1_ref[...], wx_ref[...],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (NsG, h_g*RT, pack*W)
+        bias_qm = jnp.concatenate(
+            [
+                jnp.transpose(bias_p[:, :, j * W : (j + 1) * W], (1, 2, 0))
+                for j in range(pack)
+            ],
+            axis=2,
+        ).reshape(h_g * RT * W, Ns)
 
     k = k_ref[0]
     v = v_ref[0]
@@ -1230,7 +1270,8 @@ def _kernel_v4_bwd(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (RT*W, Ns)
-        s2 = s2 + bias_qm[h * RT * W : (h + 1) * RT * W, :]
+        if not nobias:
+            s2 = s2 + bias_qm[h * RT * W : (h + 1) * RT * W, :]
         s2 = s2 - jnp.max(s2, axis=1, keepdims=True)
         p2 = jnp.exp(s2)
         p2 = p2 / jnp.sum(p2, axis=1, keepdims=True)
@@ -1251,7 +1292,8 @@ def _kernel_v4_bwd(
         # softmax backward along lanes
         ds2 = p2 * (dp2 - jnp.sum(p2 * dp2, axis=1, keepdims=True))
         ds2_lo = ds2.astype(wdt)
-        ds_ref[h * RT : (h + 1) * RT] = ds2.reshape(RT, W, Ns)
+        if not nobias:
+            ds_ref[h * RT : (h + 1) * RT] = ds2.reshape(RT, W, Ns)
 
         # dq[m, c] = scale * sum_n ds2[m, n] k[n, c]
         dq2_h = jax.lax.dot_general(
@@ -1268,6 +1310,9 @@ def _kernel_v4_bwd(
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    if nobias:  # bias path elided: dpos/dtable stay at their zero init
+        return
 
     # --- bias-path gradients: cross back to sample-major ---------------
     # group-packed: ds lanes regroup as (j, x) blocks so all three
@@ -1406,6 +1451,9 @@ def fused_deform_attention_bwd_v2(
         _kernel_v4_bwd if layout == "v4" else _kernel_v2_bwd,
         H=H, W=W, RT=RT, XC=XC, h_g=h_g, hc=hc, th=th,
         tw=tw, scale=scale, Hn=hn, Wn=wn,
+        # mirror the forward's attribution knob so grads match the
+        # nobias forward and the bias backward cost is really excluded
+        nobias=os.environ.get("DAT_TPU_KERNEL_NOBIAS", "0") == "1",
         **({"pack": pack} if layout == "v4" else {}),
     )
     dq, dk, dv, dpos_t, dtbl_b = pl.pallas_call(

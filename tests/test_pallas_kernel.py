@@ -370,3 +370,64 @@ def test_full_backbone_pallas_matches_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
+
+
+@pytest.mark.parametrize("layout,version", [("v2", 2), ("v4", 4)])
+def test_nobias_knob_consistent_fwd_bwd(layout, version, monkeypatch):
+    """DAT_TPU_KERNEL_NOBIAS=1 must skip the RPE bias in BOTH directions.
+
+    Regression (code-review r3): the fused backwards recomputed the
+    softmax WITH the bias and still emitted bias-path gradients, so
+    jax.grad returned cotangents of a different function than the nobias
+    forward computed and train-step attribution under the knob still
+    paid the bias backward. dq/dk/dv must match autodiff of the
+    bias-free composite; dpos/dtable (which only enter the kernel via
+    the bias) must be exactly zero.
+    """
+    monkeypatch.setenv("DAT_TPU_KERNEL_NOBIAS", "1")
+    monkeypatch.setenv("DAT_TPU_BWD_LAYOUT", layout)
+    # stage-3-like geometry so the v4 leg also exercises pack=4
+    q, k, v, pos, table = _inputs(
+        B=1, g=2, h_g=2, hc=8, H=16, W=16, Ns=256, th=13, tw=13
+    )
+    g = table.shape[0]
+    scale = (q.shape[-1] // table.shape[1]) ** -0.5
+    dout = jnp.asarray(
+        np.random.RandomState(11).randn(*q.shape).astype(np.float32)
+    )
+
+    def nobias_ref(q, k, v):
+        BG, H, W, Cg = q.shape
+        h_g = table.shape[1]
+        hc = Cg // h_g
+        qh = q.reshape(BG, H * W, h_g, hc)
+        attn = jnp.einsum(
+            "bmhc,bnhc->bhmn", qh, k.reshape(BG, -1, h_g, hc),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum(
+            "bhmn,bnhc->bmhc", p.astype(v.dtype),
+            v.reshape(BG, -1, h_g, hc),
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape(q.shape).astype(q.dtype)
+
+    out_f, vjp_f = jax.vjp(
+        lambda *a: fused_deform_attention(
+            *a, g, scale, True, version, True
+        ),
+        q, k, v, pos, table,
+    )
+    out_r, vjp_r = jax.vjp(nobias_ref, q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_r), rtol=1e-4, atol=1e-5
+    )
+    dq, dk, dv, dpos, dtable = vjp_f(dout)
+    for name, a, b in zip(("dq", "dk", "dv"), (dq, dk, dv), vjp_r(dout)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )
+    assert not np.any(np.asarray(dpos)), "dpos must be zero under nobias"
+    assert not np.any(np.asarray(dtable)), "dtable must be zero under nobias"

@@ -21,12 +21,13 @@ import jax.numpy as jnp
 
 
 def _with_kernel_fallbacks(leg):
-    """Run a bench leg; on failure retry with progressively safer kernel
-    settings (packing off, then the XLA composite). The Pallas paths are
-    interpret-verified on CPU but Mosaic legality only surfaces on real
-    TPU — a driver bench run must degrade, never die, if the backend
-    revision rejects a kernel."""
-    attempts = ({}, {"DAT_TPU_M1PACK": "1"}, {"DAT_TPU_KERNEL": "xla"})
+    """Run a bench leg; on failure retry with the XLA composite kernel.
+    The Pallas paths are interpret-verified on CPU but Mosaic legality
+    only surfaces on real TPU — a driver bench run must degrade, never
+    die, if the backend revision rejects a kernel. (Sample-group packing
+    is already off by default after the 2026-08-18 v5e measurements, so
+    no intermediate packing-off rung is needed.)"""
+    attempts = ({}, {"DAT_TPU_KERNEL": "xla"})
     err = None
     for env in attempts:
         os.environ.update(env)
@@ -109,6 +110,12 @@ def bench_train(batch: int = 2, config: str = "upn_tiny_160k_dp03_lr6",
         "label": jnp.asarray(rng.randint(0, 150, (batch, *SHAPE)).astype(np.int32)),
     })
     key = jax.random.PRNGKey(1)
+    flops = 0.0
+    try:
+        cost = step.lower(st, b, key).compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        pass
     for _ in range(3):
         st, m = step(st, b, key)
     _fetch(m["loss"])
@@ -124,7 +131,7 @@ def bench_train(batch: int = 2, config: str = "upn_tiny_160k_dp03_lr6",
             "value": round(batch / dt, 2),
             "unit": f"img/s ({config} 512x512 bf16 train step"
                     f"{', remat' if remat else ''})",
-            "vs_baseline": 0.0,
+            "vs_baseline": round(flops / dt / V5E_PEAK_FLOPS, 4),
         }))
     print(f"# train step={dt*1e3:.1f}ms loss={float(m['loss']):.3f}",
           file=sys.stderr)

@@ -29,7 +29,6 @@ Other PE modes use the XLA path.
 from __future__ import annotations
 
 import functools
-import math
 import os
 from typing import Optional
 
@@ -134,22 +133,23 @@ def _m1_pack(Ns: int, th: int, tw: int, h_g: int) -> int:
     The m1 build (Ns*RT, th) @ (th, h_g*tw) is M-row-rate bound with
     th, h_g*tw ≪ 128 lanes at the narrow stages. Packing G sample
     groups block-diagonally multiplies K and N by G while dividing M by
-    G; the win is G / (K-passes * N-passes). Forced via DAT_TPU_M1PACK.
+    G; the tile-count model predicts a G/(K-passes * N-passes) win.
+
+    Measured on real v5e (2026-08-18, tools/bench_block.py B=4): the
+    model is wrong there — packed vs unpacked fwd ms/block is 0.934 vs
+    0.956 at stage 1 (G=1, noise), 0.747 vs 0.696 at stage 2 (G=2,
+    -7%), 0.788 vs 0.664 at stage 3 (G=4, -19%); fwd+bwd mirrors it
+    (1.756 vs 1.493 at stage 3). The extra VPU work building block-diag
+    masks + the wider (pack*size) lane tiles cost more than the saved
+    M-passes, so the default is UNPACKED; DAT_TPU_M1PACK opts back in
+    for future re-tuning on other TPU generations.
     """
+    del th, tw, h_g  # only the override path needs shape info now
     forced = os.environ.get("DAT_TPU_M1PACK", "")
     if forced:
         f = int(forced)
         return f if f >= 1 and Ns % f == 0 else 1
-    best, bc = 1, 1.0
-    for g_ in (2, 4, 8):
-        if Ns % g_:
-            continue
-        c = (
-            math.ceil(g_ * th / 128) * math.ceil(g_ * h_g * tw / 128)
-        ) / g_
-        if c < bc:
-            best, bc = g_, c
-    return best
+    return 1
 
 
 def _kernel(

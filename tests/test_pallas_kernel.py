@@ -99,6 +99,9 @@ def test_packed_kernel_out_of_range_positions(shape, monkeypatch):
     unmasked shifted taps corrupted adjacent groups' bias and
     dpos/dtable at 1e-4 level)."""
     monkeypatch.setenv("DAT_TPU_BWD_LAYOUT", "v4")
+    # packing is opt-in since the 2026-08-18 v5e measurements; force it
+    # here so the block-diag confinement path stays covered
+    monkeypatch.setenv("DAT_TPU_M1PACK", "4" if shape["th"] == 13 else "2")
     q, k, v, pos, table = _inputs(pos_range=1.2, **shape)
     g = table.shape[0]
     scale = (q.shape[-1] // table.shape[1]) ** -0.5
@@ -191,8 +194,10 @@ def test_fused_backward_layouts_match_xla_vjp(shape, layout, monkeypatch):
 )
 def test_fused_backward_packed_stage_shapes(shape, monkeypatch):
     """Query-major fwd+bwd at production narrow-stage shapes, where the
-    sample-group K-block packing (pack=2/4) is active."""
+    sample-group K-block packing (pack=2/4) is active (opt-in via
+    DAT_TPU_M1PACK since the 2026-08-18 v5e measurements)."""
     monkeypatch.setenv("DAT_TPU_BWD_LAYOUT", "v4")
+    monkeypatch.setenv("DAT_TPU_M1PACK", "4" if shape["th"] == 13 else "2")
     q, k, v, pos, table = _inputs(**shape)
     g = table.shape[0]
     scale = (q.shape[-1] // table.shape[1]) ** -0.5

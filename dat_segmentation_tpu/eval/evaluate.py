@@ -93,12 +93,27 @@ class _BucketBatcher:
             return
         hb, wb = key
         padded = np.zeros((self.batch_size, hb, wb, 3), np.float32)
+        # empty batch slots carry the full padded extent (masking no-ops)
+        valid = np.full((self.batch_size, 2), (hb, wb), np.int32)
         for i, (img, _) in enumerate(entries):
             padded[i, : img.shape[0], : img.shape[1]] = img
-        small = self.inf.forward_batch(padded)  # (B, hb/s, wb/s, C)
+            valid[i] = img.shape[:2]
+        exact = self.inf.exact and any(
+            img.shape[:2] != (hb, wb) for img, _ in entries
+        )
+        small = self.inf.forward_batch(
+            padded, valid_hw=valid if exact else None
+        )  # (B, hb/s, wb/s, C)
         for i, (img, meta) in enumerate(entries):
             h, w = img.shape[:2]
-            logits = _resize_probs(small[i], (hb, wb))[:h, :w]
+            if exact:
+                # slice the stride-4 logits to the true extent, resize
+                # with the TRUE ratio (mmseg resizes the exact run's
+                # logits straight to the image shape)
+                eh, ew = self.inf._ext4((h, w))
+                logits = _resize_probs(small[i][:eh, :ew], (h, w))
+            else:
+                logits = _resize_probs(small[i], (hb, wb))[:h, :w]
             self.on_logits(meta, logits)
 
     def flush_all(self):

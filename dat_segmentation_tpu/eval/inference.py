@@ -88,6 +88,13 @@ class SegInferencer:
         # tools/bench_pad_deviation.py). bucket=1 gives exact unpadded
         # mmseg semantics at one compile per distinct shape.
         bucket: int = 32,
+        # exact padded inference (ops/valid_extent.py): per-sample true
+        # extents propagate through the padded forward so it EQUALS the
+        # exact-shape forward on each sample's valid region — bucket
+        # padding keeps its static-shape compile economy with zero
+        # numeric deviation from mmseg whole-mode semantics. fixed_pe
+        # models have no exact path and auto-disable it.
+        exact: bool = True,
         compute_dtype=jnp.bfloat16,
         align_corners: bool = False,
         transfer_dtype=jnp.float16,
@@ -100,6 +107,12 @@ class SegInferencer:
         self.bucket = bucket
         self.align_corners = align_corners
         self.compute_dtype = compute_dtype
+        bb = getattr(model, "backbone", None)
+        if exact and bb is not None and any(getattr(bb, "fixed_pes", ())):
+            exact = False
+        self.exact = exact
+        self._conv_stem = bool(getattr(bb, "use_conv_patches", False))
+        self._patch_size = int(getattr(bb, "patch_size", 4))
         self.variables = jax.tree.map(
             lambda v: v.astype(compute_dtype)
             if jnp.issubdtype(v.dtype, jnp.floating)
@@ -121,9 +134,27 @@ class SegInferencer:
 
         self._fwd = _fwd
 
+        @jax.jit
+        def _fwd_exact(image, valid_hw):
+            out = self.model.apply(
+                self.variables, image.astype(compute_dtype), train=False,
+                upsample=False, valid_hw=valid_hw,
+            )
+            return out.astype(transfer_dtype)
+
+        self._fwd_exact = _fwd_exact
+
+    def _ext4(self, hw):
+        """True stride-4 logits extent for a true image size."""
+        from ..ops.valid_extent import stride4_extent
+
+        return stride4_extent(hw, self._conv_stem, self._patch_size)
+
     # -- single forwards ---------------------------------------------------
 
-    def forward_batch(self, padded: np.ndarray) -> np.ndarray:
+    def forward_batch(
+        self, padded: np.ndarray, valid_hw: Optional[np.ndarray] = None
+    ) -> np.ndarray:
         """Batched padded forward: (B, hb, wb, 3) normalized float32 ->
         (B, hb/4, wb/4, C) float32 stride-4 logits on the host.
 
@@ -131,8 +162,17 @@ class SegInferencer:
         fixed and group images by padded bucket shape so the val set
         reuses a handful of compilations (the batched analog of
         single_gpu_test throughput, reference tools/test.py:274).
+
+        ``valid_hw`` ((B, 2) per-sample true sizes) runs the exact
+        padded forward; rows of the output beyond each sample's
+        stride-4 extent (``_ext4``) are invalid.
         """
-        out = self._fwd(jnp.asarray(padded))
+        if valid_hw is not None and self.exact:
+            out = self._fwd_exact(
+                jnp.asarray(padded), jnp.asarray(valid_hw, jnp.int32)
+            )
+        else:
+            out = self._fwd(jnp.asarray(padded))
         return np.asarray(jax.device_get(out)).astype(np.float32)
 
     def tta_inputs(
@@ -167,6 +207,19 @@ class SegInferencer:
         """img: (H, W, 3) normalized float32. Returns (H, W, C) float32."""
         h, w = img.shape[:2]
         hb, wb = _round_up(h, self.bucket), _round_up(w, self.bucket)
+        if self.exact and (hb, wb) != (h, w):
+            # exact padded forward: slice the stride-4 logits to the true
+            # extent, then host-resize with the TRUE ratio h/eh (mmseg
+            # resizes the exact run's (eh, ew) logits to (h, w))
+            padded = np.zeros((hb, wb, 3), np.float32)
+            padded[:h, :w] = img
+            small = self._fwd_exact(
+                jnp.asarray(padded[None]),
+                jnp.asarray([[h, w]], jnp.int32),
+            )
+            small = np.asarray(jax.device_get(small))[0].astype(np.float32)
+            eh, ew = self._ext4((h, w))
+            return _resize_probs(small[:eh, :ew], (h, w))
         padded = np.zeros((hb, wb, 3), np.float32)
         padded[:h, :w] = img
         small = self._fwd(jnp.asarray(padded[None]))  # (1, hb/s, wb/s, C)
@@ -193,13 +246,33 @@ class SegInferencer:
                 y1 = min(r * sh, hp - ch)
                 x1 = min(c * sw, wp - cw)
                 crop = padded[y1 : y1 + ch, x1 : x1 + cw]
+                vh, vw = min(h - y1, ch), min(w - x1, cw)
+                if self.exact and (vh, vw) != (ch, cw):
+                    # image smaller than the crop: mmseg forwards the
+                    # un-padded (vh, vw) crop — run the exact padded
+                    # forward and resize only the valid logits
+                    small = np.asarray(
+                        jax.device_get(
+                            self._fwd_exact(
+                                jnp.asarray(crop[None]),
+                                jnp.asarray([[vh, vw]], jnp.int32),
+                            )
+                        )
+                    )[0].astype(np.float32)
+                    eh, ew = self._ext4((vh, vw))
+                    out = _resize_probs(small[:eh, :ew], (vh, vw))
+                    total[y1 : y1 + vh, x1 : x1 + vw] += out
+                    count[y1 : y1 + vh, x1 : x1 + vw] += 1.0
+                    continue
                 small = np.asarray(
                     jax.device_get(self._fwd(jnp.asarray(crop[None])))
                 )[0].astype(np.float32)
                 out = _resize_probs(small, (ch, cw))
                 total[y1 : y1 + ch, x1 : x1 + cw] += out
                 count[y1 : y1 + ch, x1 : x1 + cw] += 1.0
-        return (total / count)[:h, :w]
+        # the pad region (beyond h, w) can be uncovered on the exact
+        # path; it is sliced away, so just avoid the 0/0 warning
+        return (total / np.maximum(count, 1.0))[:h, :w]
 
     def logits(self, img: np.ndarray) -> np.ndarray:
         if self.mode == "slide":

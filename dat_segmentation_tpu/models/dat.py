@@ -99,6 +99,8 @@ class TransformerStage(nn.Module):
         # roll/mask overhead adds to it — so the TPU default is OFF
         # (DAT_TPU_XBLOCK=pallas opts in). On non-TPU backends the fused
         # path stays on so interpret-mode tests exercise the kernel.
+        from ..ops import valid_extent as _ve
+
         fuse_x = (
             impl == "pallas"
             and self.use_dwc_mlp
@@ -106,6 +108,9 @@ class TransformerStage(nn.Module):
             and (self.drop == 0.0 or deterministic)
             and H % 8 == 0
             and W % 8 == 0
+            # exact padded inference masks extents through the unfused
+            # conv2d path; the fused kernel has no per-sample sizes
+            and _ve.current() is None
             and os.environ.get(
                 "DAT_TPU_XBLOCK",
                 "xla" if jax.default_backend() == "tpu" else "pallas",

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops import valid_extent as _ve
 from ..ops.grid_sample import grid_sample, grid_sample_points_mxu, lerp_weight_matrix
 from ..ops.interpolate import avg_pool, resize_bilinear
 from .layers import conv2d, dense, LayerNorm2d, gelu, trunc_normal_init
@@ -98,6 +99,20 @@ class DeformableAttention(nn.Module):
         Cg = C // g
         scale = hc ** -0.5
 
+        # Exact padded inference (ops/valid_extent.py): per-sample TRUE
+        # feature extent. Every size-dependent quantity below — tanh
+        # offset range, reference/query grids, sampler denormalization,
+        # the kv softmax support — switches to the true extent so the
+        # padded forward equals the exact-run math on the valid region.
+        ctx = _ve.current()
+        ext_q = ctx.get((H, W)) if ctx is not None else None
+        exact = ext_q is not None
+        if exact and self.fixed_pe:
+            raise NotImplementedError(
+                "fixed_pe has no exact padded-inference path (its bias "
+                "resize couples query and kv counts); use bucket=1"
+            )
+
         q = dense(x, C, name="proj_q")
 
         # ---- offset network on grouped queries -------------------------
@@ -115,36 +130,92 @@ class DeformableAttention(nn.Module):
         Hk, Wk = offset.shape[1], offset.shape[2]
         Ns = Hk * Wk
 
+        ext_kv = kv_mask = None
+        if exact:
+            # true kv grid size per sample: the offset conv's own shape
+            # arithmetic (avg_pool floor(e/s) for no_off)
+            if self.no_off:
+                ext_kv = ext_q // self.stride
+            else:
+                ext_kv = _ve.conv_out_extent(
+                    ext_q, self.ksize, self.stride, pad
+                )
+            kv_mask = _ve.mask_for((Hk, Wk), ext_kv, jnp.bool_).reshape(
+                B, Ns
+            )  # (B, Ns) valid kv points
+
         offset = offset.astype(jnp.float32)
         if self.offset_range_factor >= 0 and not self.no_off:
-            rng = jnp.array(
-                [1.0 / (Hk - 1.0), 1.0 / (Wk - 1.0)], dtype=jnp.float32
-            )
+            if exact:
+                rng = 1.0 / jnp.maximum(
+                    ext_kv.astype(jnp.float32) - 1.0, 1.0
+                )  # (B, 2)
+                rng = jnp.repeat(rng, g, axis=0)[:, None, None, :]
+            else:
+                rng = jnp.array(
+                    [1.0 / (Hk - 1.0), 1.0 / (Wk - 1.0)], dtype=jnp.float32
+                )
             offset = jnp.tanh(offset) * rng * self.offset_range_factor
         if self.no_off:
             offset = jnp.zeros_like(offset)
 
-        ref = reference_points(Hk, Wk)  # (Hk, Wk, 2), (y, x)
+        if exact:
+            # per-sample reference grid over the TRUE kv extent
+            # (same pixel-center formula as reference_points)
+            hk = jnp.maximum(ext_kv[:, 0].astype(jnp.float32) - 1.0, 1.0)
+            wk = jnp.maximum(ext_kv[:, 1].astype(jnp.float32) - 1.0, 1.0)
+            ys = (
+                (jnp.arange(Hk, dtype=jnp.float32) + 0.5)[None, :]
+                / hk[:, None] * 2.0 - 1.0
+            )  # (B, Hk)
+            xs = (
+                (jnp.arange(Wk, dtype=jnp.float32) + 0.5)[None, :]
+                / wk[:, None] * 2.0 - 1.0
+            )  # (B, Wk)
+            ref = jnp.stack(
+                [
+                    jnp.broadcast_to(ys[:, :, None], (B, Hk, Wk)),
+                    jnp.broadcast_to(xs[:, None, :], (B, Hk, Wk)),
+                ],
+                axis=-1,
+            )
+            ref = jnp.repeat(ref, g, axis=0)  # (B*g, Hk, Wk, 2)
+        else:
+            ref = reference_points(Hk, Wk)  # (Hk, Wk, 2), (y, x)
         pos = offset + ref  # broadcast over B*g
         if self.offset_range_factor < 0:
             pos = jnp.clip(pos, -1.0, 1.0)
         pos = pos.reshape(B * g, Ns, 2)
 
         # ---- deformed sampling -----------------------------------------
+        # In exact mode positions are normalized over the TRUE extent but
+        # the samplers denormalize over the PADDED map, so rescale:
+        # (pos+1)/2*(ext-1) pixels == (pos_s+1)/2*(H-1) pixels. The map is
+        # masked to zero beyond the true extent first, so taps falling
+        # between the true and padded borders read the zeros the exact
+        # run's zeros-padding would produce.
+        pos_s = pos
+        if exact:
+            sc = (ext_q.astype(jnp.float32) - 1.0) / jnp.array(
+                [max(H - 1.0, 1.0), max(W - 1.0, 1.0)], jnp.float32
+            )  # (B, 2)
+            pos_s = (pos + 1.0) * jnp.repeat(sc, g, axis=0)[:, None, :] - 1.0
         if self.no_off:
             assert H % self.stride == 0 and W % self.stride == 0
-            sampled = avg_pool(x, self.stride, self.stride)  # (B, Hk, Wk, C)
+            x_p = _ve.mask_tensor(x, ext_q) if exact else x
+            sampled = avg_pool(x_p, self.stride, self.stride)  # (B, Hk, Wk, C)
             sampled = sampled.reshape(B, Ns, C)
         else:
-            x_grp = x.reshape(B, H, W, g, Cg).transpose(0, 3, 1, 2, 4)
+            x_p = _ve.mask_tensor(x, ext_q) if exact else x
+            x_grp = x_p.reshape(B, H, W, g, Cg).transpose(0, 3, 1, 2, 4)
             x_grp = x_grp.reshape(B * g, H, W, Cg)
             if self.kernel_impl == "gather":
-                grid = pos[..., ::-1].reshape(B * g, Hk, Wk, 2)  # (x, y)
+                grid = pos_s[..., ::-1].reshape(B * g, Hk, Wk, 2)  # (x, y)
                 samp = grid_sample(x_grp, grid, align_corners=True)
                 samp = samp.reshape(B, g, Ns, Cg)
             else:
                 # MXU path: bilinear gather as S_y @ x @ S_x^T matmuls
-                samp = grid_sample_points_mxu(x_grp, pos)
+                samp = grid_sample_points_mxu(x_grp, pos_s)
                 samp = samp.reshape(B, g, Ns, Cg)
             # (B, g, Ns, Cg) -> (B, Ns, C); groups fold back into channels
             sampled = samp.transpose(0, 2, 1, 3).reshape(B, Ns, C)
@@ -169,6 +240,9 @@ class DeformableAttention(nn.Module):
             and not (self.dwc_pe or self.fixed_pe or self.log_cpb)
             and not self.no_off
             and (self.attn_drop == 0.0 or deterministic)
+            # exact padded inference needs per-sample sizes inside the
+            # kernel; route through the (maskable) XLA composite instead
+            and not exact
         )
         if use_pallas:
             from ..ops.pallas.deform_attn import fused_deform_attention
@@ -225,6 +299,21 @@ class DeformableAttention(nn.Module):
         )
         attn = attn * scale
 
+        def _qgrid_ps():
+            # per-sample query grid rows/cols over the TRUE query extent
+            # (exact mode; same corner formula as query_grid)
+            hq = jnp.maximum(ext_q[:, 0].astype(jnp.float32) - 1.0, 1.0)
+            wq = jnp.maximum(ext_q[:, 1].astype(jnp.float32) - 1.0, 1.0)
+            qy = (
+                jnp.arange(H, dtype=jnp.float32)[None, :] / hq[:, None]
+                * 2.0 - 1.0
+            )
+            qx = (
+                jnp.arange(W, dtype=jnp.float32)[None, :] / wq[:, None]
+                * 2.0 - 1.0
+            )
+            return jnp.repeat(qy, g, axis=0), jnp.repeat(qx, g, axis=0)
+
         lepe = None
         if self.use_pe and not self.no_off:
             if self.dwc_pe:
@@ -244,8 +333,18 @@ class DeformableAttention(nn.Module):
                 ).transpose(0, 3, 1, 2)  # (1, heads, HW, Ns)
                 attn = attn + bias.astype(attn.dtype)
             elif self.log_cpb:
-                qg = query_grid(H, W).reshape(1, H * W, 2)
-                qg = jnp.broadcast_to(qg, (B * g, H * W, 2))
+                if exact:
+                    qy, qx = _qgrid_ps()
+                    qg = jnp.stack(
+                        [
+                            jnp.broadcast_to(qy[:, :, None], (B * g, H, W)),
+                            jnp.broadcast_to(qx[:, None, :], (B * g, H, W)),
+                        ],
+                        axis=-1,
+                    ).reshape(B * g, H * W, 2)
+                else:
+                    qg = query_grid(H, W).reshape(1, H * W, 2)
+                    qg = jnp.broadcast_to(qg, (B * g, H * W, 2))
                 disp = qg[:, :, None, :] - pos[:, None, :, :]
                 disp = disp * 4.0
                 disp = (
@@ -272,8 +371,22 @@ class DeformableAttention(nn.Module):
                     "rpe_table", trunc_normal_init(0.01), (heads, th, tw)
                 )
                 if self.kernel_impl == "gather":
-                    qg = query_grid(H, W).reshape(1, H * W, 2)
-                    qg = jnp.broadcast_to(qg, (B * g, H * W, 2))
+                    if exact:
+                        qy, qx = _qgrid_ps()
+                        qg = jnp.stack(
+                            [
+                                jnp.broadcast_to(
+                                    qy[:, :, None], (B * g, H, W)
+                                ),
+                                jnp.broadcast_to(
+                                    qx[:, None, :], (B * g, H, W)
+                                ),
+                            ],
+                            axis=-1,
+                        ).reshape(B * g, H * W, 2)
+                    else:
+                        qg = query_grid(H, W).reshape(1, H * W, 2)
+                        qg = jnp.broadcast_to(qg, (B * g, H * W, 2))
                     disp = (qg[:, :, None, :] - pos[:, None, :, :]) * 0.5
                     tbl = table.reshape(g, h_g, th, tw).transpose(0, 2, 3, 1)
                     tbl = jnp.broadcast_to(tbl[None], (B, g, th, tw, h_g))
@@ -291,12 +404,17 @@ class DeformableAttention(nn.Module):
                     # so the bilinear table lookup factorizes into two
                     # dense matmuls over (th,)/(tw,) tap weights and never
                     # materializes (HW x Ns) coordinates.
-                    qg2 = query_grid(H, W)  # (H, W, 2)
+                    if exact:
+                        qy, qx = _qgrid_ps()  # (B*g, H), (B*g, W)
+                    else:
+                        qg2 = query_grid(H, W)  # (H, W, 2)
+                        qy = qg2[:, 0, 0][None, :]  # (1, H)
+                        qx = qg2[0, :, 1][None, :]  # (1, W)
                     dy = (
-                        qg2[:, 0, 0][None, :, None] - pos[..., 0][:, None, :]
+                        qy[:, :, None] - pos[..., 0][:, None, :]
                     ) * 0.5  # (B*g, H, Ns)
                     dx = (
-                        qg2[0, :, 1][None, :, None] - pos[..., 1][:, None, :]
+                        qx[:, :, None] - pos[..., 1][:, None, :]
                     ) * 0.5  # (B*g, W, Ns)
                     fy = (dy + 1.0) * 0.5 * (th - 1)
                     fx = (dx + 1.0) * 0.5 * (tw - 1)
@@ -319,6 +437,14 @@ class DeformableAttention(nn.Module):
                     bias = bias.reshape(B, heads, H * W, Ns)
                 attn = attn + bias.astype(attn.dtype)
 
+        if exact:
+            # kv points beyond the true grid don't exist in the exact
+            # run — remove them from the softmax support
+            attn = jnp.where(
+                kv_mask[:, None, None, :],
+                attn,
+                jnp.asarray(-1e30, attn.dtype),
+            )
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
 

@@ -11,6 +11,7 @@ which reproduces the mmseg SyncBN configuration without NCCL.
 
 from __future__ import annotations
 
+import contextlib
 import math
 from typing import List, Sequence
 
@@ -18,8 +19,19 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import valid_extent as _ve
 from ..ops.interpolate import adaptive_avg_pool, resize_bilinear, resize_nearest
 from .layers import batch_norm, LayerNorm2d, conv2d, dense
+
+
+def _resize(x, out_hw, src_ext, dst_ext, align_corners):
+    """Static bilinear resize, or the traced-extent form under exact
+    padded inference (ops/valid_extent.py) when extents are known."""
+    if src_ext is not None and dst_ext is not None:
+        return _ve.resize_bilinear_extent(
+            x, out_hw, src_ext, dst_ext, align_corners=align_corners
+        )
+    return resize_bilinear(x, out_hw, align_corners=align_corners)
 
 
 class ConvBNReLU(nn.Module):
@@ -68,16 +80,33 @@ class UPerHead(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         n = len(feats)
+        # exact padded inference: per-level true extents (None otherwise)
+        ctx = _ve.current()
+        exts = [
+            ctx.get(f.shape[1:3]) if ctx is not None else None for f in feats
+        ]
 
         # ---- PPM on the deepest feature ---------------------------------
         deep = feats[-1]
         ppm_c = self.channels // len(self.pool_scales)
         ppm_outs = [deep]
         for j, scale in enumerate(self.pool_scales):
-            p = adaptive_avg_pool(deep, (scale, scale))
-            p = ConvBNReLU(ppm_c, 1, name=f"ppm_{j}")(p, train)
-            p = resize_bilinear(
-                p, deep.shape[1:3], align_corners=self.align_corners
+            if exts[-1] is not None:
+                # pool bins over the TRUE extent; the (scale, scale)
+                # output is fully valid, so only the resize back up needs
+                # traced ratios
+                p = _ve.adaptive_avg_pool_extent(
+                    deep, (scale, scale), exts[-1]
+                )
+                full = jnp.full_like(exts[-1], scale)
+                with _ve.suspend():  # pooled map is fully valid
+                    p = ConvBNReLU(ppm_c, 1, name=f"ppm_{j}")(p, train)
+            else:
+                p = adaptive_avg_pool(deep, (scale, scale))
+                full = None
+                p = ConvBNReLU(ppm_c, 1, name=f"ppm_{j}")(p, train)
+            p = _resize(
+                p, deep.shape[1:3], full, exts[-1], self.align_corners
             )
             ppm_outs.append(p)
         psp = ConvBNReLU(self.channels, 3, name="ppm_bottleneck")(
@@ -97,20 +126,24 @@ class UPerHead(nn.Module):
         ]
         if self.topdown == "mmseg":
             for i in range(n - 1, 0, -1):
-                up = resize_bilinear(
+                up = _resize(
                     laterals[i],
                     laterals[i - 1].shape[1:3],
-                    align_corners=self.align_corners,
+                    exts[i],
+                    exts[i - 1],
+                    self.align_corners,
                 )
                 laterals[i - 1] = laterals[i - 1] + up
             outs = [fpn_convs[i](laterals[i], train) for i in range(n - 1)]
             outs.append(laterals[-1])
         elif self.topdown == "standalone":
             for i in range(n - 1, 0, -1):
-                up = resize_bilinear(
+                up = _resize(
                     laterals[i],
                     laterals[i - 1].shape[1:3],
-                    align_corners=self.align_corners,
+                    exts[i],
+                    exts[i - 1],
+                    self.align_corners,
                 )
                 laterals[i - 1] = fpn_convs[i - 1](laterals[i - 1] + up, train)
             outs = laterals
@@ -120,8 +153,8 @@ class UPerHead(nn.Module):
         # ---- fuse ----------------------------------------------------------
         target = outs[0].shape[1:3]
         outs = [outs[0]] + [
-            resize_bilinear(o, target, align_corners=self.align_corners)
-            for o in outs[1:]
+            _resize(o, target, exts[i + 1], exts[0], self.align_corners)
+            for i, o in enumerate(outs[1:])
         ]
         x = ConvBNReLU(self.channels, 3, name="fuse_bottleneck")(
             jnp.concatenate(outs, axis=-1), train
@@ -157,14 +190,25 @@ class FPNNeck(nn.Module):
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array]) -> List[jax.Array]:
         n = len(feats)
+        ctx = _ve.current()
+        exts = [
+            ctx.get(f.shape[1:3]) if ctx is not None else None for f in feats
+        ]
         laterals = [
             dense(feats[i], self.out_channels, name=f"lateral_{i}")
             for i in range(n)
         ]
         for i in range(n - 1, 0, -1):
-            laterals[i - 1] = laterals[i - 1] + resize_nearest(
-                laterals[i], laterals[i - 1].shape[1:3]
-            )
+            if exts[i] is not None:
+                up = _ve.resize_nearest_extent(
+                    laterals[i],
+                    laterals[i - 1].shape[1:3],
+                    exts[i],
+                    exts[i - 1],
+                )
+            else:
+                up = resize_nearest(laterals[i], laterals[i - 1].shape[1:3])
+            laterals[i - 1] = laterals[i - 1] + up
         return [
             conv2d(
                 laterals[i], self.out_channels, 3, padding=1, name=f"fpn_{i}"
@@ -193,26 +237,59 @@ class FPNHead(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         fs = self.feature_strides
+        ctx = _ve.current()
+        exts = [
+            ctx.get(f.shape[1:3]) if ctx is not None else None for f in feats
+        ]
+        # Exact padded inference tracks extents LOCALLY here: upsampled
+        # maps land on padded shapes that collide with registered
+        # feature-map keys at DIFFERENT true extents (e.g. a 2x-upsampled
+        # stride-32 map has true extent 2*e32, not the stride-16 e16), so
+        # the shared context is suspended and inputs masked explicitly.
+        exact = ctx is not None and all(e is not None for e in exts)
         outputs = []
-        for i in range(len(fs)):
-            x = feats[i]
-            head_length = max(1, int(math.log2(fs[i]) - math.log2(fs[0])))
-            for k in range(head_length):
-                x = ConvBNReLU(self.channels, 3, name=f"scale_{i}_{k}")(
-                    x, train
-                )
-                if fs[i] != fs[0]:
-                    x = resize_bilinear(
-                        x,
-                        (x.shape[1] * 2, x.shape[2] * 2),
+        out_exts = []
+        with _ve.suspend() if exact else contextlib.nullcontext():
+            for i in range(len(fs)):
+                x = feats[i]
+                e = exts[i]
+                if exact:
+                    x = _ve.mask_tensor(x, e)
+                head_length = max(1, int(math.log2(fs[i]) - math.log2(fs[0])))
+                for k in range(head_length):
+                    x = ConvBNReLU(self.channels, 3, name=f"scale_{i}_{k}")(
+                        x, train
+                    )
+                    if fs[i] != fs[0]:
+                        target = (x.shape[1] * 2, x.shape[2] * 2)
+                        if exact:
+                            # scale_factor=2 upsample: true dst size is
+                            # exactly 2x the true src size
+                            x = _ve.resize_bilinear_extent(
+                                x, target, e, 2 * e,
+                                align_corners=self.align_corners,
+                            )
+                            e = 2 * e
+                        else:
+                            x = resize_bilinear(
+                                x, target, align_corners=self.align_corners
+                            )
+                outputs.append(x)
+                out_exts.append(e)
+            out = outputs[0]
+            for i in range(1, len(outputs)):
+                if exact:
+                    # mmseg resizes every level to outputs[0]'s TRUE shape
+                    # (padded sizes already agree, true sizes do not)
+                    out = out + _ve.resize_bilinear_extent(
+                        outputs[i], out.shape[1:3], out_exts[i], out_exts[0],
                         align_corners=self.align_corners,
                     )
-            outputs.append(x)
-        out = outputs[0]
-        for i in range(1, len(outputs)):
-            out = out + resize_bilinear(
-                outputs[i], out.shape[1:3], align_corners=self.align_corners
-            )
+                else:
+                    out = out + resize_bilinear(
+                        outputs[i], out.shape[1:3],
+                        align_corners=self.align_corners,
+                    )
         out = nn.Dropout(self.dropout_ratio, deterministic=deterministic)(out)
         return dense(out, self.num_classes, name="cls_seg")
 

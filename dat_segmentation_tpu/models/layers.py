@@ -116,10 +116,33 @@ def conv2d(
     Stride-1 depthwise convs route to the shift-FMA form (see
     ``_DepthwiseShiftConv``); set DAT_TPU_DWCONV=conv to force the XLA
     grouped-conv lowering.
+
+    Under exact padded inference (ops/valid_extent.py) the input and
+    output are zeroed beyond the per-sample valid extent, so conv
+    windows near the true border read exactly the zeros that SAME
+    padding would produce at the exact (unpadded) shape; the output
+    extent follows the conv's own k/s/p arithmetic and is registered
+    for downstream ops.
     """
     in_c = x.shape[-1]
     fan_in = kernel * kernel * (in_c // groups)
     import os
+
+    from ..ops import valid_extent as _ve
+
+    ctx = _ve.current()
+    ext_out = None
+    if ctx is not None:
+        ext_in = ctx.get(x.shape[1:3])
+        if ext_in is not None:
+            x = _ve.mask_tensor(x, ext_in)
+            ext_out = _ve.conv_out_extent(ext_in, kernel, stride, padding)
+
+    def _finish(out):
+        if ext_out is not None:
+            ctx.register(out.shape[1:3], ext_out)
+            out = _ve.mask_tensor(out, ext_out)
+        return out
 
     # Measured on v5e (all-X ablation, b8 512²): XLA's native grouped-conv
     # lowering runs the depthwise chain at 24.8 ms vs 30.3 ms for the
@@ -131,20 +154,24 @@ def conv2d(
         and padding == kernel // 2
         and os.environ.get("DAT_TPU_DWCONV", "conv") == "shift"
     ):
-        return _DepthwiseShiftConv(
-            kernel=kernel, padding=padding, use_bias=use_bias, name=name
+        return _finish(
+            _DepthwiseShiftConv(
+                kernel=kernel, padding=padding, use_bias=use_bias, name=name
+            )(x)
+        )
+    return _finish(
+        nn.Conv(
+            features=features,
+            kernel_size=(kernel, kernel),
+            strides=(stride, stride),
+            padding=[(padding, padding)] * 2,
+            feature_group_count=groups,
+            use_bias=use_bias,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            name=name,
         )(x)
-    return nn.Conv(
-        features=features,
-        kernel_size=(kernel, kernel),
-        strides=(stride, stride),
-        padding=[(padding, padding)] * 2,
-        feature_group_count=groups,
-        use_bias=use_bias,
-        kernel_init=torch_conv_kernel_init,
-        bias_init=torch_bias_init(fan_in),
-        name=name,
-    )(x)
+    )
 
 
 def dense(

@@ -9,11 +9,13 @@ auxiliary-head logits computed on the stage-2 feature (in_index=2).
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Tuple, Union
 
 import jax
 from flax import linen as nn
 
+from ..ops import valid_extent as _ve
 from ..ops.interpolate import resize_bilinear
 from .heads import ClsHead
 
@@ -37,13 +39,42 @@ class EncoderDecoder(nn.Module):
         deterministic: bool = True,
         with_aux: Optional[bool] = None,
         upsample: bool = True,
+        valid_hw: Optional[jax.Array] = None,
     ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
         """``upsample=False`` returns stride-4 logits (the head's native
         resolution); eval transfers those and upsamples on the host — the
         bilinear upsample is linear, so resize-then-slice equals
-        slice-then-resize and host f32 matches mmseg's resize exactly."""
+        slice-then-resize and host f32 matches mmseg's resize exactly.
+
+        ``valid_hw`` ((B, 2) int32 per-sample true image sizes) enables
+        EXACT padded inference (ops/valid_extent.py): the forward on the
+        zero-padded batch equals the exact-shape forward on each sample's
+        valid region — mmseg whole-mode semantics under static shapes.
+        Callers slice the stride-4 logits to each sample's true extent
+        before the host upsample, so ``upsample`` must be False.
+        """
+        if valid_hw is not None and upsample:
+            raise ValueError(
+                "exact padded inference returns stride-4 logits; host code "
+                "slices to the true extent and upsamples (use upsample=False)"
+            )
         if with_aux is None:
             with_aux = train and self.auxiliary_head is not None
+        cm = (
+            _ve.exact_extent(x.shape[1:3], valid_hw)
+            if valid_hw is not None
+            else contextlib.nullcontext()
+        )
+        with cm:
+            return self._forward(
+                x,
+                train=train,
+                deterministic=deterministic,
+                with_aux=with_aux,
+                upsample=upsample,
+            )
+
+    def _forward(self, x, *, train, deterministic, with_aux, upsample):
         feats = self.backbone(x, deterministic=deterministic, train=train)
         aux_feat = feats[self.aux_in_index]
         head_feats = self.neck(feats) if self.neck is not None else feats

@@ -43,6 +43,11 @@ def parse_args():
                         "is the smallest pad that bounds compile count; 1 "
                         "= mmseg-exact unpadded semantics (one compile per "
                         "distinct val shape — use for final parity runs)")
+    p.add_argument("--no-exact", action="store_true",
+                   help="disable exact padded inference (valid-extent "
+                        "propagation makes the padded forward EQUAL the "
+                        "unpadded mmseg whole-mode forward; disabling "
+                        "reverts to plain zero-pad + slice)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host run: jax.distributed.initialize(), "
                         "shard by process, reduce counters in-run "
@@ -101,6 +106,7 @@ def main():
         crop_size=cfg.model.crop_size,
         stride=cfg.model.slide_stride,
         bucket=args.pad_bucket,
+        exact=not args.no_exact,
     )
     ds = ADE20KDataset(args.data_root, "val")
     shard_info = None

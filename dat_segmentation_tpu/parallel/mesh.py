@@ -6,6 +6,16 @@ a ``data`` axis (optionally ``model`` for wide variants), params replicated,
 batches sharded on ``data``. Gradient all-reduce is compiled into the XLA
 program over ICI; nothing explicit to tune. Multi-host: call
 ``jax.distributed.initialize()`` once per host before ``make_mesh``.
+
+Spatial partitioning (SP): give the mesh a ``spatial`` axis
+(``mesh_shape={"data": -1, "spatial": 2}``) and NHWC images/labels are
+additionally sharded along H. GSPMD inserts the halo exchanges for every
+spatial conv and the cross-shard reductions for LN/BN/softmax/resize
+automatically — the per-chip activation footprint drops by the spatial
+factor, which is what unlocks high-resolution crops (896²+) and
+effective per-chip batch < 1 without any model changes. This is the
+conv-model analog of sequence parallelism; it rides ICI like the data
+axis.
 """
 
 from __future__ import annotations
@@ -42,12 +52,27 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def spatial_size(mesh: Mesh) -> int:
+    """Size of the optional 'spatial' (height-sharding) axis."""
+    return mesh.shape.get("spatial", 1)
+
+
+def array_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding for a batch leaf: batch dim on 'data'; NHW[C] arrays
+    (ndim >= 3) additionally shard H on 'spatial' when the mesh has one
+    (GSPMD halo-exchanges convs across the H shards)."""
+    if ndim >= 3 and spatial_size(mesh) > 1:
+        return NamedSharding(mesh, P("data", "spatial"))
+    return NamedSharding(mesh, P("data"))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch with the batch dim sharded on 'data'.
+    """Place a host batch: batch dim sharded on 'data', and — when the
+    mesh has a 'spatial' axis — H of NHW[C] leaves sharded on it.
 
     Single-process: a plain sharded ``device_put``. Multi-host (a mesh
     spanning processes, built after ``jax.distributed.initialize``): each
@@ -56,20 +81,27 @@ def shard_batch(mesh: Mesh, batch):
     process_count)``) and the global array is assembled with
     ``jax.make_array_from_process_local_data`` — the reference reaches the
     same state via DistributedSampler + per-rank CUDA tensors
-    (new_train.py:121,197).
+    (new_train.py:121,197). Multi-host SP requires the spatial axis to
+    map onto devices within each process (each process holds full-H
+    local slices).
     """
-    s = batch_sharding(mesh)
     n = mesh.shape["data"]
+    sp = spatial_size(mesh)
     multihost = any(
         d.process_index != jax.process_index() for d in mesh.devices.flat
     )
 
     def put(x):
+        s = array_sharding(mesh, np.ndim(x))
         if multihost:
             return jax.make_array_from_process_local_data(s, np.asarray(x))
         assert x.shape[0] % n == 0, (
             f"batch dim {x.shape[0]} not divisible by data axis {n}"
         )
+        if np.ndim(x) >= 3 and sp > 1:
+            assert x.shape[1] % sp == 0, (
+                f"H={x.shape[1]} not divisible by spatial axis {sp}"
+            )
         return jax.device_put(x, s)
 
     return jax.tree.map(put, batch)

@@ -165,9 +165,16 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    # spatial axis (see parallel/mesh.py): NHW[C] leaves shard H too —
+    # image always; seg labels are (B, H, W), cls labels are (B,)/(B, C)
+    spatial = "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1
+    img = NamedSharding(mesh, P("data", "spatial")) if spatial else data
+    lbl = img if task == "seg" else data
+    batch_shardings = {"image": img, "label": lbl}
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data, repl),  # state replicated, batch sharded
+        # state replicated, batch sharded per leaf
+        in_shardings=(repl, batch_shardings, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
@@ -203,8 +210,10 @@ def make_cls_metric_step(model, mesh: Mesh, *, compute_dtype=jnp.bfloat16):
 
     data = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
+    spatial = "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1
+    img = NamedSharding(mesh, P("data", "spatial")) if spatial else data
     return jax.jit(
-        fwd, in_shardings=(None, None, data, data, data), out_shardings=repl
+        fwd, in_shardings=(None, None, img, data, data), out_shardings=repl
     )
 
 
@@ -220,5 +229,10 @@ def make_eval_step(model, mesh: Mesh, *, compute_dtype=jnp.bfloat16):
         )
         return out.astype(jnp.float32) if hasattr(out, "astype") else out
 
-    data = NamedSharding(mesh, P("data"))
+    spatial = "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1
+    data = (
+        NamedSharding(mesh, P("data", "spatial"))
+        if spatial
+        else NamedSharding(mesh, P("data"))
+    )
     return jax.jit(fwd, in_shardings=(None, None, data))

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple, Union
 
 
 def _quad(v) -> Tuple:
@@ -153,6 +153,12 @@ class TrainConfig:
     work_dir: str = "work_dirs"
     dtype: str = "bfloat16"  # compute dtype on TPU; params stay fp32
     mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": -1})
+    # ZeRO-style param+optimizer sharding (parallel/mesh.py:fsdp_sharding):
+    # False = replicate (DDP-equivalent), True = shard over 'data'
+    # (per-chip optimizer memory drops by the data-axis size), or a mesh
+    # axis NAME — 'model' on a {'data': X, 'model': Y} mesh is tensor
+    # parallelism (GSPMD all-reduces partial matmuls over 'model').
+    fsdp: Union[bool, str] = False
 
 
 def replace(cfg, **kwargs):

@@ -1,4 +1,11 @@
-from .mesh import make_mesh, batch_sharding, replicated_sharding
+from .mesh import (
+    batch_sharding,
+    fsdp_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_state,
+    state_shardings,
+)
 from .train_step import (
     TrainState,
     create_train_state,

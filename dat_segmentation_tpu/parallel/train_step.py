@@ -18,6 +18,7 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .mesh import state_shardings
 from ..train.losses import (
     label_smoothing_cross_entropy,
     segmentation_loss,
@@ -85,11 +86,21 @@ def make_train_step(
     compute_dtype=jnp.bfloat16,
     label_smoothing: float = 0.1,
     mixup: bool = False,
+    fsdp: "bool | str" = False,
+    state: "TrainState | None" = None,
 ) -> Callable:
     """Build the jitted sharded train step.
 
     batch: {'image': (B,H,W,3) f32, 'label': (B,H,W) i32 (seg) or
     (B,)/(B,num_classes) (cls)}. Returns (state, metrics dict).
+
+    fsdp=True shards params + optimizer state over the 'data' axis
+    (ZeRO; see parallel/mesh.py:fsdp_sharding); an axis NAME instead
+    shards them over that axis — 'model' on a {'data': X, 'model': Y}
+    mesh is tensor parallelism (GSPMD partitions each matmul over the
+    weight shards and all-reduces partials over 'model'). Either way,
+    pass the concrete ``state`` so the per-leaf sharding tree can be
+    built, and place it with ``shard_state`` before the loop.
     """
 
     def loss_fn(params, batch_stats, batch, rng):
@@ -171,11 +182,19 @@ def make_train_step(
     img = NamedSharding(mesh, P("data", "spatial")) if spatial else data
     lbl = img if task == "seg" else data
     batch_shardings = {"image": img, "label": lbl}
+    if fsdp:
+        if state is None:
+            raise ValueError("fsdp=True needs the concrete `state` to "
+                             "derive per-leaf shardings")
+        axis = fsdp if isinstance(fsdp, str) else "data"
+        state_sh = state_shardings(mesh, state, fsdp=True, axis=axis)
+    else:
+        state_sh = repl
     return jax.jit(
         step_fn,
-        # state replicated, batch sharded per leaf
-        in_shardings=(repl, batch_shardings, repl),
-        out_shardings=(repl, repl),
+        # state replicated (or ZeRO-sharded), batch sharded per leaf
+        in_shardings=(state_sh, batch_shardings, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
 

@@ -31,7 +31,12 @@ from ..parallel import (
     make_mesh,
     make_train_step,
 )
-from ..parallel.mesh import local_batch_size, process_shard_info, shard_batch
+from ..parallel.mesh import (
+    local_batch_size,
+    process_shard_info,
+    shard_batch,
+    shard_state,
+)
 from ..utils.logging import MetricLogger, weight_stats
 from .checkpoint import CheckpointManager, load_pretrained, merge_pretrained, save_backbone_only
 from .optim import make_optimizer
@@ -110,11 +115,15 @@ def train_classifier(
             logger.log(f"resumed from epoch checkpoint {latest}")
 
     compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    fsdp = getattr(cfg, "fsdp", False)  # False | True | axis name
+    if fsdp:
+        state = shard_state(mesh, state, fsdp=fsdp)
     step_fn = make_train_step(
         model, mesh, task="cls",
         num_classes=cfg.model.num_classes,
         compute_dtype=compute_dtype,
         mixup=mixup,
+        fsdp=fsdp, state=state,
     )
     eval_fn = make_cls_metric_step(model, mesh, compute_dtype=compute_dtype)
     rng = jax.random.PRNGKey(cfg.seed + 1)

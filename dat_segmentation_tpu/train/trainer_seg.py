@@ -31,7 +31,12 @@ from ..parallel import (
     make_mesh,
     make_train_step,
 )
-from ..parallel.mesh import local_batch_size, process_shard_info, shard_batch
+from ..parallel.mesh import (
+    local_batch_size,
+    process_shard_info,
+    shard_batch,
+    shard_state,
+)
 from ..utils.logging import MetricLogger
 from .checkpoint import CheckpointManager, load_pretrained, merge_pretrained
 from .metrics import StreamingIoU
@@ -168,6 +173,9 @@ def train_segmentation(
     }))
 
     compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    fsdp = getattr(cfg, "fsdp", False)  # False | True | axis name
+    if fsdp:
+        state = shard_state(mesh, state, fsdp=fsdp)
     step_fn = make_train_step(
         model, mesh,
         task="seg",
@@ -175,6 +183,7 @@ def train_segmentation(
         ignore_index=cfg.data.ignore_index,
         num_classes=cfg.model.num_classes,
         compute_dtype=compute_dtype,
+        fsdp=fsdp, state=state,
     )
     schedule = build_schedule(cfg)
     rng = jax.random.PRNGKey(cfg.seed + 1)

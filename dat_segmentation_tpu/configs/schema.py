@@ -104,6 +104,12 @@ class OptimizerConfig:
         "relative_position_bias_table",
         "rpe_table",
         "norm",
+        # this repo's LN scope spellings (see train/optim.py docstring);
+        # the effective no-decay SET equals the reference's name rule
+        "stem_ln",
+        "offset_ln",
+        "down_ln",
+        "ln_cnvnxt",
     )
     grad_clip: Optional[float] = None
 

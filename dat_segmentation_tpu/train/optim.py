@@ -2,15 +2,29 @@
 
 Reference: AdamW with decay disabled for {absolute_pos_embed,
 relative_position_bias_table, rpe_table, norm} parameter names
-(new_train.py:145-159; configs/dat/upn_tiny_160k_dp03_lr6.py:43-48), plus
-optional global-norm grad clipping (train_backbone.py:106-108).
+(new_train.py:146-160; train_backbone.py:224-245; mmseg custom_keys at
+configs/dat/upn_tiny_160k_dp03_lr6.py:43-48), plus optional global-norm
+grad clipping (train_backbone.py:106-108).
 
-The name matching mirrors torch: a param is no-decay when any key appears
-in its dotted path, OR when it is 1-D (biases, LN/BN scales) — the torch
-loop checks ``param.ndim <= 1 or name endswith .bias`` in common recipes;
-the reference's builder matches substrings of the name. Here 'norm'
-matches every LayerNorm/BatchNorm scope, exactly like the mmseg
-custom_keys rule.
+The matching is reference-EXACT name-substring matching: a param is
+no-decay iff any key is a substring of its dotted path — nothing else.
+Faithfully kept consequences (verified against all three reference
+recipes, which agree):
+
+* projection/conv BIASES **do** get weight decay (torch names like
+  ``proj_q.bias`` contain no key);
+* the heads' BatchNorm params **do** get weight decay (the reference
+  UPerHead's BNs are anonymous ``nn.Sequential`` entries —
+  ``psp.0.1.weight`` — and mmseg's ConvModule norm is named ``bn``);
+* every LayerNorm is exempt: torch wraps them in LayerNormProxy whose
+  inner module is ``.norm.`` (dat_blocks.py LayerNormProxy), so the
+  'norm' key catches them all. This repo spells some LN scopes with
+  'ln' (stem_ln, offset_ln, down_ln, ln_cnvnxt), covered by the extra
+  default keys in :func:`make_optimizer` so the effective no-decay SET
+  equals the reference's.
+
+The 10-step train-trajectory test (tests/test_train_trajectory.py)
+asserts this grouping end to end against torch AdamW on the real model.
 """
 
 from __future__ import annotations
@@ -26,8 +40,6 @@ def no_decay_mask(params, keys: Sequence[str]) -> dict:
 
     def decide(path, leaf):
         name = "/".join(str(getattr(p, "key", p)) for p in path).lower()
-        if leaf.ndim <= 1:
-            return False
         return not any(k.lower() in name for k in keys)
 
     return jax.tree_util.tree_map_with_path(decide, params)
@@ -44,6 +56,14 @@ def make_optimizer(
         "relative_position_bias_table",
         "rpe_table",
         "norm",
+        # this repo's LayerNorm scope spellings without 'norm' in them —
+        # their torch counterparts all contain '.norm.' via LayerNormProxy
+        # (stem_ln<->patch_proj.*.norm, offset_ln<->conv_offset.1.norm,
+        # down_ln<->down_projs.*.norm, ln_cnvnxt<->ln_cnvnxt.*.norm)
+        "stem_ln",
+        "offset_ln",
+        "down_ln",
+        "ln_cnvnxt",
     ),
     grad_clip: Optional[float] = None,
 ) -> optax.GradientTransformation:

@@ -144,6 +144,34 @@ def test_no_decay_mask_rules():
                  "rpe_table", "norm"),
     )
     assert mask["stage_0"]["attn_0"]["proj_q"]["kernel"]
-    assert not mask["stage_0"]["attn_0"]["proj_q"]["bias"]  # 1-D
+    # reference-exact: biases DECAY (torch 'proj_q.bias' matches no key —
+    # new_train.py:146-160 groups by name substring only)
+    assert mask["stage_0"]["attn_0"]["proj_q"]["bias"]
     assert not mask["stage_0"]["attn_0"]["rpe_table"]  # named
     assert not mask["out_norm_0"]["scale"]  # 'norm' in path
+    assert not mask["stage_0"]["norm1_0"]["bias"]  # LN bias exempt via name
+
+
+def test_intersect_and_union_impls_agree():
+    """The MXU-reduce ('matmul') histogram must count identically to the
+    compare-reduce form, including ignore pixels, out-of-range preds and
+    the chunk-padding path (N not a multiple of the scan chunk)."""
+    from dat_segmentation_tpu.train.metrics import intersect_and_union
+
+    rng = np.random.RandomState(0)
+    pred = jnp.asarray(rng.randint(0, 150, (2, 37, 53)))
+    label = jnp.asarray(
+        np.where(rng.rand(2, 37, 53) < 0.1, 255,
+                 rng.randint(0, 150, (2, 37, 53)))
+    )
+    a = intersect_and_union(pred, label, 150, impl="compare")
+    b = intersect_and_union(pred, label, 150, impl="matmul")
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # big-N leg: multiple scan chunks + padding tail
+    pred = jnp.asarray(rng.randint(0, 10, (600000,)))
+    label = jnp.asarray(rng.randint(0, 10, (600000,)))
+    a = intersect_and_union(pred, label, 10, impl="compare")
+    b = intersect_and_union(pred, label, 10, impl="matmul")
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

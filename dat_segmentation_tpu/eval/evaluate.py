@@ -134,6 +134,7 @@ def _evaluate_batched(
     batch_size: int,
     log_interval: int,
     verbose: bool,
+    on_pred=None,
 ) -> int:
     n_aug = len(ratios) * (2 if flip else 1)
     pending = {}  # idx -> [prob_sum, count, gt]
@@ -144,15 +145,20 @@ def _evaluate_batched(
         idx, do_flip, ori = meta["idx"], meta["flip"], meta["ori"]
         if do_flip:
             logits = logits[:, ::-1]
+        # mmseg order: whole_inference resizes the LOGITS to ori_shape
+        # first, inference() softmaxes after (they don't commute —
+        # softmax-then-resize deviates near class boundaries)
+        if logits.shape[:2] != tuple(ori):
+            logits = _resize_probs(logits, ori)
         probs = _np_softmax(logits)
-        if probs.shape[:2] != tuple(ori):
-            probs = _resize_probs(probs, ori)
         acc = pending[idx]
         acc[0] += probs
         acc[1] += 1
         if acc[1] == n_aug:
             pred = np.argmax(acc[0], axis=-1).astype(np.int32)
             iou.update(pred, acc[2])
+            if on_pred is not None:
+                on_pred(idx, pred)
             del pending[idx]
             done[0] += 1
             if verbose and done[0] % log_interval == 0:
@@ -203,8 +209,15 @@ def evaluate_dataset(
     distributed: bool = False,
     log_interval: int = 50,
     verbose: bool = True,
+    on_pred=None,
 ) -> dict:
-    """Returns {'mIoU': float, 'aAcc': float, 'per_class_iou': list}."""
+    """Returns {'mIoU': float, 'aAcc': float, 'per_class_iou': list}.
+
+    ``on_pred(idx, pred)`` fires once per image with the finalized
+    original-resolution class map — visualization/format writers hook in
+    here so --show-dir/--format-dir reuse the eval pass instead of
+    re-running inference (the reference paints from collected results,
+    tools/test.py:274-283)."""
     ratios: Sequence[float] = MS_RATIOS if aug_test else (1.0,)
     flip = bool(aug_test)
     iou = StreamingIoU(num_classes, ignore_index)
@@ -216,7 +229,7 @@ def evaluate_dataset(
             inferencer, dataset, iou,
             indices=indices, img_scale=img_scale, ratios=ratios, flip=flip,
             keep_ratio=keep_ratio, batch_size=batch_size,
-            log_interval=log_interval, verbose=verbose,
+            log_interval=log_interval, verbose=verbose, on_pred=on_pred,
         )
     else:
         t0 = time.time()
@@ -232,6 +245,8 @@ def evaluate_dataset(
                 ori_shape=gt.shape,
             )
             iou.update(pred, gt)
+            if on_pred is not None:
+                on_pred(idx, pred)
             done += 1
             if verbose and done % log_interval == 0:
                 rate = done / (time.time() - t0)

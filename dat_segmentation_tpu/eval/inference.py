@@ -92,12 +92,15 @@ class SegInferencer:
         # extents propagate through the padded forward so it EQUALS the
         # exact-shape forward on each sample's valid region — bucket
         # padding keeps its static-shape compile economy with zero
-        # numeric deviation from mmseg whole-mode semantics. fixed_pe
-        # models have no exact path and auto-disable it.
+        # numeric deviation from mmseg whole-mode semantics (all four
+        # PE modes, incl. fixed_pe's flat-axis bias resize).
         exact: bool = True,
         compute_dtype=jnp.bfloat16,
         align_corners: bool = False,
         transfer_dtype=jnp.float16,
+        # windows per slide-mode dispatch (all windows share one static
+        # crop shape; the tail chunk zero-pads to keep the batch static)
+        slide_batch: int = 4,
     ):
         self.model = model
         self.num_classes = num_classes
@@ -105,11 +108,10 @@ class SegInferencer:
         self.crop_size = crop_size
         self.stride = stride
         self.bucket = bucket
+        self.slide_batch = max(int(slide_batch), 1)
         self.align_corners = align_corners
         self.compute_dtype = compute_dtype
         bb = getattr(model, "backbone", None)
-        if exact and bb is not None and any(getattr(bb, "fixed_pes", ())):
-            exact = False
         self.exact = exact
         self._conv_stem = bool(getattr(bb, "use_conv_patches", False))
         self._patch_size = int(getattr(bb, "patch_size", 4))
@@ -229,7 +231,14 @@ class SegInferencer:
 
     def logits_slide(self, img: np.ndarray) -> np.ndarray:
         """mmseg 'slide' mode: 512^2 crops at stride 341, averaged where
-        overlapping. One compiled forward reused for every window."""
+        overlapping.
+
+        All windows share one static crop shape, so they run BATCHED
+        (``slide_batch`` per dispatch; the last chunk is zero-padded to
+        keep the batch dim static) — per-window dispatch through the
+        device tunnel is latency-bound. Partial border windows ride the
+        same batch via the exact-padded forward (per-window valid_hw is a
+        traced tensor, so one compiled program covers every extent)."""
         h, w = img.shape[:2]
         cw, ch = self.crop_size
         sw, sh = self.stride
@@ -241,35 +250,38 @@ class SegInferencer:
         cols = max(math.ceil((wp - cw) / sw) + 1, 1)
         total = np.zeros((hp, wp, self.num_classes), np.float32)
         count = np.zeros((hp, wp, 1), np.float32)
+        # gather every window position + its true (valid) extent
+        wins = []
         for r in range(rows):
             for c in range(cols):
                 y1 = min(r * sh, hp - ch)
                 x1 = min(c * sw, wp - cw)
-                crop = padded[y1 : y1 + ch, x1 : x1 + cw]
-                vh, vw = min(h - y1, ch), min(w - x1, cw)
+                wins.append((y1, x1, min(h - y1, ch), min(w - x1, cw)))
+        B = self.slide_batch
+        for lo in range(0, len(wins), B):
+            chunk = wins[lo : lo + B]
+            crops = np.zeros((B, ch, cw, 3), np.float32)
+            valid = np.full((B, 2), (ch, cw), np.int32)
+            for i, (y1, x1, vh, vw) in enumerate(chunk):
+                crops[i] = padded[y1 : y1 + ch, x1 : x1 + cw]
+                valid[i] = (vh, vw)
+            partial = any((vh, vw) != (ch, cw) for _, _, vh, vw in chunk)
+            small = self.forward_batch(
+                crops, valid_hw=valid if (self.exact and partial) else None
+            )
+            for i, (y1, x1, vh, vw) in enumerate(chunk):
                 if self.exact and (vh, vw) != (ch, cw):
                     # image smaller than the crop: mmseg forwards the
-                    # un-padded (vh, vw) crop — run the exact padded
-                    # forward and resize only the valid logits
-                    small = np.asarray(
-                        jax.device_get(
-                            self._fwd_exact(
-                                jnp.asarray(crop[None]),
-                                jnp.asarray([[vh, vw]], jnp.int32),
-                            )
-                        )
-                    )[0].astype(np.float32)
+                    # un-padded (vh, vw) crop — resize only the valid
+                    # logits of the exact-padded run
                     eh, ew = self._ext4((vh, vw))
-                    out = _resize_probs(small[:eh, :ew], (vh, vw))
+                    out = _resize_probs(small[i][:eh, :ew], (vh, vw))
                     total[y1 : y1 + vh, x1 : x1 + vw] += out
                     count[y1 : y1 + vh, x1 : x1 + vw] += 1.0
-                    continue
-                small = np.asarray(
-                    jax.device_get(self._fwd(jnp.asarray(crop[None])))
-                )[0].astype(np.float32)
-                out = _resize_probs(small, (ch, cw))
-                total[y1 : y1 + ch, x1 : x1 + cw] += out
-                count[y1 : y1 + ch, x1 : x1 + cw] += 1.0
+                else:
+                    out = _resize_probs(small[i], (ch, cw))
+                    total[y1 : y1 + ch, x1 : x1 + cw] += out
+                    count[y1 : y1 + ch, x1 : x1 + cw] += 1.0
         # the pad region (beyond h, w) can be uncovered on the exact
         # path; it is sliced away, so just avoid the 0/0 warning
         return (total / np.maximum(count, 1.0))[:h, :w]
@@ -312,9 +324,11 @@ class SegInferencer:
             # post-processing on the HOST: eager device ops would
             # dispatch one tiny XLA program per op (softmax, resize,
             # ...) — tens of seconds per image through the tunnel.
-            probs = _np_softmax(logits)
-            if probs.shape[:2] != tuple(ori):
-                probs = _resize_probs(probs, ori)
-            prob_sum += probs
+            # mmseg order: resize the LOGITS to ori_shape, THEN softmax
+            # (whole_inference resizes seg_logit before inference()'s
+            # softmax; the two don't commute).
+            if logits.shape[:2] != tuple(ori):
+                logits = _resize_probs(logits, ori)
+            prob_sum += _np_softmax(logits)
             n += 1
         return np.argmax(prob_sum / n, axis=-1).astype(np.int32)

@@ -107,6 +107,7 @@ def main():
         stride=cfg.model.slide_stride,
         bucket=args.pad_bucket,
         exact=not args.no_exact,
+        slide_batch=args.batch_size,
     )
     ds = ADE20KDataset(args.data_root, "val")
     shard_info = None
@@ -115,6 +116,60 @@ def main():
         shard_info = (rank, world)
     elif args.distributed:
         shard_info = (jax.process_index(), jax.process_count())
+
+    # --show-dir/--format-dir writers hook into the eval pass itself
+    # (on_pred fires with each finalized prediction) — ONE inference pass
+    # per image, like the reference painting from collected results
+    # (tools/test.py:274-283)
+    writers = []
+    if args.format_dir:
+        import numpy as np
+        import cv2
+
+        fmt_dir = Path(args.format_dir)
+        fmt_dir.mkdir(parents=True, exist_ok=True)
+
+        def write_format(idx, pred):
+            # submission-format grayscale maps (label+1, ADE convention)
+            cv2.imwrite(
+                str(fmt_dir / f"{Path(ds.images[idx]).stem}.png"),
+                (pred + 1).astype(np.uint8),
+            )
+
+        writers.append(write_format)
+    if args.show_dir:
+        import numpy as np
+        import cv2
+
+        from dat_segmentation_tpu.data.ade20k import (
+            ADE20K_NUM_CLASSES,
+            ADE20K_PALETTE,
+        )
+
+        show_dir = Path(args.show_dir)
+        show_dir.mkdir(parents=True, exist_ok=True)
+        if cfg.model.num_classes == ADE20K_NUM_CLASSES:
+            # canonical 150-color palette (reference tools/test.py:229-233)
+            palette = np.asarray(ADE20K_PALETTE, np.uint8)
+        else:
+            palette = (
+                np.random.RandomState(42)
+                .randint(0, 255, (cfg.model.num_classes, 3))
+                .astype(np.uint8)
+            )
+
+        def write_show(idx, pred):
+            cv2.imwrite(
+                str(show_dir / f"{Path(ds.images[idx]).stem}.png"),
+                cv2.cvtColor(palette[pred], cv2.COLOR_RGB2BGR),
+            )
+
+        writers.append(write_show)
+
+    def on_pred(idx, pred):
+        for w in writers:
+            w(idx, pred)
+
     res = evaluate_dataset(
         inferencer,
         ds,
@@ -125,6 +180,7 @@ def main():
         shard_info=shard_info,
         batch_size=args.batch_size,
         distributed=args.distributed,
+        on_pred=on_pred if writers else None,
     )
     # per-class table like mmseg's --eval mIoU output (dataset.evaluate
     # prints Class | IoU | Acc via prettytable; reference tools/test.py:300)
@@ -146,55 +202,6 @@ def main():
     print(f"mIoU: {res['mIoU']*100:.2f}  aAcc: {res['aAcc']*100:.2f}")
     if args.out:
         Path(args.out).write_text(json.dumps(res))
-
-    if args.format_dir:
-        import numpy as np
-        import cv2
-
-        out_dir = Path(args.format_dir)
-        out_dir.mkdir(parents=True, exist_ok=True)
-        n = min(args.max_images or len(ds), len(ds))
-        for i in range(n):
-            raw, gt = ds.load_raw(i)
-            pred = inferencer.predict(
-                raw, img_scale=cfg.data.img_scale, ori_shape=gt.shape
-            )
-            cv2.imwrite(
-                str(out_dir / f"{Path(ds.images[i]).stem}.png"),
-                (pred + 1).astype(np.uint8),
-            )
-
-    if args.show_dir:
-        import numpy as np
-        import cv2
-
-        from dat_segmentation_tpu.data.ade20k import (
-            ADE20K_NUM_CLASSES,
-            ADE20K_PALETTE,
-        )
-
-        out_dir = Path(args.show_dir)
-        out_dir.mkdir(parents=True, exist_ok=True)
-        if cfg.model.num_classes == ADE20K_NUM_CLASSES:
-            # canonical 150-color palette (reference tools/test.py:229-233)
-            palette = np.asarray(ADE20K_PALETTE, np.uint8)
-        else:
-            palette = (
-                np.random.RandomState(42)
-                .randint(0, 255, (cfg.model.num_classes, 3))
-                .astype(np.uint8)
-            )
-        n = min(args.max_images or len(ds), len(ds))
-        for i in range(n):
-            raw, gt = ds.load_raw(i)
-            pred = inferencer.predict(
-                raw, img_scale=cfg.data.img_scale, ori_shape=gt.shape
-            )
-            color = palette[pred]
-            cv2.imwrite(
-                str(out_dir / f"{Path(ds.images[i]).stem}.png"),
-                cv2.cvtColor(color, cv2.COLOR_RGB2BGR),
-            )
 
 
 if __name__ == "__main__":

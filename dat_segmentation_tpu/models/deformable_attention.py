@@ -39,6 +39,7 @@ from flax import linen as nn
 from ..ops import valid_extent as _ve
 from ..ops.grid_sample import grid_sample, grid_sample_points_mxu, lerp_weight_matrix
 from ..ops.interpolate import avg_pool, resize_bilinear
+from ..parallel.mesh import shard_hint
 from .layers import conv2d, dense, LayerNorm2d, gelu, trunc_normal_init
 
 
@@ -107,25 +108,29 @@ class DeformableAttention(nn.Module):
         ctx = _ve.current()
         ext_q = ctx.get((H, W)) if ctx is not None else None
         exact = ext_q is not None
-        if exact and self.fixed_pe:
-            raise NotImplementedError(
-                "fixed_pe has no exact padded-inference path (its bias "
-                "resize couples query and kv counts); use bucket=1"
-            )
 
         q = dense(x, C, name="proj_q")
 
         # ---- offset network on grouped queries -------------------------
         # (B, H, W, g, Cg) -> (B*g, H, W, Cg); channel blocks per group.
+        #
+        # shard_hint (parallel/mesh.py): attention internals run BATCH-
+        # parallel over the whole mesh. The module's (B*g, ...) folds and
+        # HW/Ns-flattened tensors can't carry a spatially-sharded H, and
+        # without pins GSPMD propagation picks pathological targets
+        # (g- or head-sharded layouts reachable only by involuntary full
+        # rematerialization — MULTICHIP_r03.json). Every hint is a no-op
+        # off-mesh and on size-1 axes.
+        _bp = ("data", "spatial")  # batch-parallel spec for dim 0
         q_grp = q.reshape(B, H, W, g, Cg).transpose(0, 3, 1, 2, 4)
-        q_grp = q_grp.reshape(B * g, H, W, Cg)
+        q_grp = shard_hint(q_grp.reshape(B * g, H, W, Cg), _bp)
         pad = self.ksize // 2 if self.ksize != self.stride else 0
         off = conv2d(
             q_grp, Cg, self.ksize, stride=self.stride, padding=pad,
             groups=Cg, name="offset_dwc",
         )
         off = LayerNorm2d(name="offset_ln")(off)
-        off = gelu(off)
+        off = shard_hint(gelu(off), _bp)
         offset = dense(off, 2, use_bias=False, name="offset_proj")
         Hk, Wk = offset.shape[1], offset.shape[2]
         Ns = Hk * Wk
@@ -185,7 +190,7 @@ class DeformableAttention(nn.Module):
         pos = offset + ref  # broadcast over B*g
         if self.offset_range_factor < 0:
             pos = jnp.clip(pos, -1.0, 1.0)
-        pos = pos.reshape(B * g, Ns, 2)
+        pos = shard_hint(pos.reshape(B * g, Ns, 2), _bp)
 
         # ---- deformed sampling -----------------------------------------
         # In exact mode positions are normalized over the TRUE extent but
@@ -219,6 +224,7 @@ class DeformableAttention(nn.Module):
                 samp = samp.reshape(B, g, Ns, Cg)
             # (B, g, Ns, Cg) -> (B, Ns, C); groups fold back into channels
             sampled = samp.transpose(0, 2, 1, 3).reshape(B, Ns, C)
+        sampled = shard_hint(sampled, _bp)
 
         k = dense(sampled, C, name="proj_k")
         v = dense(sampled, C, name="proj_v")
@@ -290,14 +296,14 @@ class DeformableAttention(nn.Module):
             y = dense(out, C, name="proj_out")
             return nn.Dropout(self.proj_drop, deterministic=deterministic)(y)
 
-        qh = q.reshape(B, H * W, heads, hc)
-        kh = k.reshape(B, Ns, heads, hc)
-        vh = v.reshape(B, Ns, heads, hc)
+        qh = shard_hint(q.reshape(B, H * W, heads, hc), _bp)
+        kh = shard_hint(k.reshape(B, Ns, heads, hc), _bp)
+        vh = shard_hint(v.reshape(B, Ns, heads, hc), _bp)
 
         attn = jnp.einsum(
             "bmhc,bnhc->bhmn", qh, kh, preferred_element_type=jnp.float32
         )
-        attn = attn * scale
+        attn = shard_hint(attn * scale, _bp)
 
         def _qgrid_ps():
             # per-sample query grid rows/cols over the TRUE query extent
@@ -321,16 +327,64 @@ class DeformableAttention(nn.Module):
             elif self.fixed_pe:
                 kv_h = self.q_size[0] // self.stride
                 kv_w = self.q_size[1] // self.stride
+                q_hw = self.q_size[0] * self.q_size[1]
+                kv_hw = kv_h * kv_w
                 table = self.param(
                     "rpe_table",
                     trunc_normal_init(0.01),
-                    (heads, self.q_size[0] * self.q_size[1], kv_h * kv_w),
+                    (heads, q_hw, kv_hw),
                 )
-                bias = resize_bilinear(
-                    table[None].transpose(0, 2, 3, 1),
-                    (H * W, Ns),
-                    align_corners=True,
-                ).transpose(0, 3, 1, 2)  # (1, heads, HW, Ns)
+                if exact:
+                    # The reference resizes the (q_hw, kv_hw) table to the
+                    # runtime (H*W, Ns) with a 2-D align-corners bilinear
+                    # interpolate (dat_blocks.py:187-191) — separable over
+                    # the two FLAT row-major axes. In the exact run those
+                    # axes have per-sample lengths eh*ew and ekh*ekw, so
+                    # express each 1-D interp as a per-sample tap-weight
+                    # matmul: padded query (y, x) maps to exact flat index
+                    # y*ew + x, scaled by (q_hw-1)/(eh*ew-1). Invalid
+                    # queries alias valid rows (garbage the downstream
+                    # masking discards); invalid kv columns are removed
+                    # from the softmax by kv_mask.
+                    dt = x.dtype
+                    ehf = ext_q[:, 0].astype(jnp.float32)
+                    ewf = ext_q[:, 1].astype(jnp.float32)
+                    yy = jnp.arange(H, dtype=jnp.float32)
+                    xx = jnp.arange(W, dtype=jnp.float32)
+                    flat_q = (
+                        yy[None, :, None] * ewf[:, None, None]
+                        + xx[None, None, :]
+                    ).reshape(B, H * W)
+                    u = flat_q * (q_hw - 1.0) / jnp.maximum(
+                        ehf * ewf - 1.0, 1.0
+                    )[:, None]
+                    w1 = lerp_weight_matrix(u, q_hw, dt)  # (B, HW, q_hw)
+                    ekhf = ext_kv[:, 0].astype(jnp.float32)
+                    ekwf = ext_kv[:, 1].astype(jnp.float32)
+                    kyy = jnp.arange(Hk, dtype=jnp.float32)
+                    kxx = jnp.arange(Wk, dtype=jnp.float32)
+                    flat_k = (
+                        kyy[None, :, None] * ekwf[:, None, None]
+                        + kxx[None, None, :]
+                    ).reshape(B, Ns)
+                    vv = flat_k * (kv_hw - 1.0) / jnp.maximum(
+                        ekhf * ekwf - 1.0, 1.0
+                    )[:, None]
+                    w2 = lerp_weight_matrix(vv, kv_hw, dt)  # (B, Ns, kv_hw)
+                    m1 = jnp.einsum(
+                        "bmp,hpq->bhmq", w1, table.astype(dt),
+                        preferred_element_type=jnp.float32,
+                    ).astype(dt)
+                    bias = jnp.einsum(
+                        "bhmq,bnq->bhmn", m1, w2,
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    bias = resize_bilinear(
+                        table[None].transpose(0, 2, 3, 1),
+                        (H * W, Ns),
+                        align_corners=True,
+                    ).transpose(0, 3, 1, 2)  # (1, heads, HW, Ns)
                 attn = attn + bias.astype(attn.dtype)
             elif self.log_cpb:
                 if exact:
@@ -419,11 +473,22 @@ class DeformableAttention(nn.Module):
                     fy = (dy + 1.0) * 0.5 * (th - 1)
                     fx = (dx + 1.0) * 0.5 * (tw - 1)
                     dt = x.dtype
-                    wy = lerp_weight_matrix(fy, th, dt).reshape(
-                        B, g, H, Ns, th
+                    # pin the (B*g, ..) -> (B, g, ..) folds to a plain
+                    # batch layout: on dp x sp meshes GSPMD's propagation
+                    # otherwise targets a g-sharded layout it can only
+                    # reach by involuntary full rematerialization
+                    # (parallel/mesh.py:shard_hint; no-op off-mesh)
+                    wy = shard_hint(
+                        lerp_weight_matrix(fy, th, dt).reshape(
+                            B, g, H, Ns, th
+                        ),
+                        _bp,
                     )
-                    wx = lerp_weight_matrix(fx, tw, dt).reshape(
-                        B, g, W, Ns, tw
+                    wx = shard_hint(
+                        lerp_weight_matrix(fx, tw, dt).reshape(
+                            B, g, W, Ns, tw
+                        ),
+                        _bp,
                     )
                     tblg = table.reshape(g, h_g, th, tw).astype(dt)
                     m1 = jnp.einsum(
@@ -434,7 +499,9 @@ class DeformableAttention(nn.Module):
                         "bgynuh,bgwnu->bghywn", m1, wx,
                         preferred_element_type=jnp.float32,
                     )  # (B, g, h_g, H, W, Ns)
-                    bias = bias.reshape(B, heads, H * W, Ns)
+                    bias = shard_hint(
+                        bias.reshape(B, heads, H * W, Ns), _bp
+                    )
                 attn = attn + bias.astype(attn.dtype)
 
         if exact:
@@ -446,12 +513,13 @@ class DeformableAttention(nn.Module):
                 jnp.asarray(-1e30, attn.dtype),
             )
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        attn = shard_hint(attn, _bp)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
 
         out = jnp.einsum(
             "bhmn,bnhc->bmhc", attn, vh, preferred_element_type=jnp.float32
         ).astype(x.dtype)
-        out = out.reshape(B, H, W, C)
+        out = shard_hint(out.reshape(B, H, W, C), _bp)
         if lepe is not None:
             out = out + lepe
         y = dense(out, C, name="proj_out")

@@ -53,6 +53,36 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def shard_hint(x, *spec):
+    """``with_sharding_constraint`` that no-ops outside a mesh context.
+
+    Model code calls this to pin layouts at reshape boundaries where
+    GSPMD's sharding propagation is known to pick pathological targets
+    (the dp x sp "involuntary full rematerialization" at the deformable
+    attention's (B*g, ...) <-> (B, g, ...) folds). Each ``spec`` entry is
+    an axis name, a tuple of axis names, or None; axes absent from the
+    ambient abstract mesh — plain jit tracing, eager tests — or of size
+    1 are dropped, and if nothing remains the call is a no-op, so the
+    hints are inert everywhere except under a real sharded step (the
+    step builders install the mesh via ``use_abstract_mesh``).
+    """
+    m = jax.sharding.get_abstract_mesh()
+    names = set(m.axis_names)
+    if not names:
+        return x
+
+    def keep(e):
+        t = e if isinstance(e, tuple) else (e,)
+        t = tuple(a for a in t if a is not None and a in names
+                  and m.shape[a] > 1)
+        return t if len(t) > 1 else (t[0] if t else None)
+
+    cleaned = tuple(keep(e) for e in spec)
+    if all(e is None for e in cleaned):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*cleaned))
+
+
 def spatial_size(mesh: Mesh) -> int:
     """Size of the optional 'spatial' (height-sharding) axis."""
     return mesh.shape.get("spatial", 1)
@@ -152,23 +182,53 @@ def state_shardings(mesh: Mesh, state, *, fsdp: bool = False, axis: str = "data"
     repl = NamedSharding(mesh, P())
     if not fsdp:
         return jax.tree.map(lambda _: repl, state)
+    _check_fsdp_axis(mesh, axis)
     return jax.tree.map(lambda x: fsdp_sharding(mesh, x, axis=axis), state)
+
+
+def _check_fsdp_axis(mesh: Mesh, axis: str) -> None:
+    """fsdp with a missing/size-1 axis would silently degrade to plain DP
+    (full per-chip optimizer memory) — fail loudly instead."""
+    if axis not in mesh.axis_names:
+        raise ValueError(
+            f"fsdp axis {axis!r} is not a mesh axis (mesh has "
+            f"{tuple(mesh.axis_names)}); refusing to silently replicate"
+        )
+    if mesh.shape[axis] <= 1:
+        raise ValueError(
+            f"fsdp axis {axis!r} has size {mesh.shape[axis]}; sharding "
+            "over it is a no-op — drop fsdp or grow the axis"
+        )
 
 
 def shard_state(mesh: Mesh, state, *, fsdp=False, axis: str = "data"):
     """Place a TrainState on the mesh (replicated, or ZeRO-sharded).
 
     Call once before the train loop; the jitted step's in/out shardings
-    then keep every leaf in place. Multi-host note: fsdp=True requires a
-    single-controller view for checkpointing (``jax.device_get`` of a
-    cross-process-sharded leaf is not addressable) — multi-process runs
-    should gather via ``multihost_utils.process_allgather`` before
-    saving, or keep fsdp off.
+    then keep every leaf in place. Checkpointing a cross-process-sharded
+    state works two ways: pass the sharded ``jax.Array`` leaves straight
+    to orbax (each process writes its own shards — what the trainers do),
+    or materialize a host copy with :func:`gather_tree`.
     """
     if isinstance(fsdp, str):
         fsdp, axis = True, fsdp
     shardings = state_shardings(mesh, state, fsdp=fsdp, axis=axis)
     return jax.tree.map(jax.device_put, state, shardings)
+
+
+def gather_tree(mesh: Mesh, tree):
+    """Materialize a (possibly fsdp/cross-process-sharded) tree as host
+    numpy, identical on every process.
+
+    A plain ``jax.device_get`` of a cross-process-sharded leaf fails (the
+    remote shards aren't addressable); resharding to fully-replicated
+    inside a jitted identity makes XLA all-gather the shards over ICI,
+    after which every process holds the whole array locally.
+    """
+    repl = NamedSharding(mesh, P())
+    shardings = jax.tree.map(lambda _: repl, tree)
+    gathered = jax.jit(lambda t: t, out_shardings=shardings)(tree)
+    return jax.device_get(gathered)
 
 
 def process_shard_info() -> tuple:

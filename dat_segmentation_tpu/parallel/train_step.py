@@ -88,6 +88,11 @@ def make_train_step(
     mixup: bool = False,
     fsdp: "bool | str" = False,
     state: "TrainState | None" = None,
+    # in-step IoU counter lowering: 'compare' | 'matmul'
+    # (train/metrics.py), or 'none' to drop the counters from the step
+    # entirely (metrics then has no inter/union keys — perf probes only;
+    # the trainers need them for streaming train-mIoU, new_train.py:215)
+    iou_impl: str = "compare",
 ) -> Callable:
     """Build the jitted sharded train step.
 
@@ -136,11 +141,13 @@ def make_train_step(
                 aux_weight=aux_weight,
                 ignore_index=ignore_index,
             )
-            pred = jnp.argmax(logits, axis=-1)
-            inter, union, _, _ = intersect_and_union(
-                pred, batch["label"], num_classes, ignore_index=ignore_index
-            )
-            metrics.update(inter=inter, union=union)
+            if iou_impl != "none":
+                pred = jnp.argmax(logits, axis=-1)
+                inter, union, _, _ = intersect_and_union(
+                    pred, batch["label"], num_classes,
+                    ignore_index=ignore_index, impl=iou_impl,
+                )
+                metrics.update(inter=inter, union=union)
         else:
             labels = batch["label"]
             if mixup and labels.ndim == 2:
@@ -157,6 +164,13 @@ def make_train_step(
         return loss, (new_stats, metrics)
 
     def step_fn(state: TrainState, batch, rng):
+        # ambient mesh for in-model shard_hint calls (parallel/mesh.py):
+        # the hints pin reshape-boundary layouts GSPMD otherwise
+        # repartitions by full rematerialization on dp x sp meshes
+        with jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
+            return _step(state, batch, rng)
+
+    def _step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         (loss, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -211,6 +225,10 @@ def make_cls_metric_step(model, mesh: Mesh, *, compute_dtype=jnp.bfloat16):
     """
 
     def fwd(params, batch_stats, image, label, valid):
+        with jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
+            return _fwd(params, batch_stats, image, label, valid)
+
+    def _fwd(params, batch_stats, image, label, valid):
         variables = {"params": _cast(params, compute_dtype)}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -240,12 +258,12 @@ def make_eval_step(model, mesh: Mesh, *, compute_dtype=jnp.bfloat16):
     """Jitted sharded forward returning logits (eval/TTA building block)."""
 
     def fwd(params, batch_stats, image):
-        variables = {"params": _cast(params, compute_dtype)}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-        out = model.apply(
-            variables, image.astype(compute_dtype), train=False
-        )
+        with jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
+            out = model.apply(
+                {"params": _cast(params, compute_dtype)}
+                | ({"batch_stats": batch_stats} if batch_stats else {}),
+                image.astype(compute_dtype), train=False,
+            )
         return out.astype(jnp.float32) if hasattr(out, "astype") else out
 
     spatial = "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1

@@ -127,6 +127,7 @@ def test_exact_mixed_batch():
         dict(no_offs=(True,) * 4),                        # avg-pool kv
         dict(log_cpb=(True,) * 4),                        # Swin-V2 bias
         dict(dwc_pes=(True,) * 4, use_pes=(True,) * 4),   # dwc PE
+        dict(fixed_pes=(True,) * 4),                      # fixed bias table
     ],
 )
 def test_exact_attention_variants(bb_over):

@@ -108,16 +108,37 @@ def train_classifier(
     work_dir = Path(cfg.work_dir) / cfg.name
     ckpt = CheckpointManager(str(work_dir))
     logger = MetricLogger(work_dir / "train.log")
+
+    compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    fsdp = getattr(cfg, "fsdp", False)  # False | True | axis name
+    if fsdp:
+        # shard BEFORE restore: resume then restores each process's own
+        # shards directly (see trainer_seg)
+        state = shard_state(mesh, state, fsdp=fsdp)
     if resume:
         latest = ckpt.latest_step()
         if latest is not None:
             state = ckpt.restore(latest, target=state)
             logger.log(f"resumed from epoch checkpoint {latest}")
 
-    compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    fsdp = getattr(cfg, "fsdp", False)  # False | True | axis name
-    if fsdp:
-        state = shard_state(mesh, state, fsdp=fsdp)
+    def _save_tree(st: TrainState) -> dict:
+        # fsdp: sharded jax.Arrays straight to orbax (each process writes
+        # its own shards); replicated runs keep host numpy copies
+        if fsdp:
+            return {"step": st.step, "params": st.params,
+                    "opt_state": st.opt_state,
+                    "batch_stats": st.batch_stats}
+        return {"step": np.asarray(st.step),
+                "params": jax.device_get(st.params),
+                "opt_state": jax.device_get(st.opt_state),
+                "batch_stats": jax.device_get(st.batch_stats)}
+
+    def _host_params(st: TrainState):
+        from ..parallel.mesh import gather_tree
+
+        return (gather_tree(mesh, st.params) if fsdp
+                else jax.device_get(st.params))
+
     step_fn = make_train_step(
         model, mesh, task="cls",
         num_classes=cfg.model.num_classes,
@@ -134,10 +155,13 @@ def train_classifier(
     guard = PreemptionGuard()
     preempted = False
     for epoch in range(start_epoch, n_epochs):
+        # fresh loader per epoch; `epoch=` keys both the shuffle order
+        # and the dataset's per-item aug RNG stream (fully reproducible
+        # runs, fresh augs per epoch)
         loader = DataLoader(
             train_ds, local_bs, shuffle=True, drop_last=True,
-            num_threads=cfg.data.num_workers, seed=cfg.seed + epoch,
-            shard_info=shard,
+            num_threads=cfg.data.num_workers, seed=cfg.seed,
+            shard_info=shard, epoch=epoch,
         )
         t0, seen = time.time(), 0
         for bi, batch in enumerate(
@@ -157,12 +181,7 @@ def train_classifier(
                 )
                 ckpt.save(
                     epoch + 1,
-                    {
-                        "step": np.asarray(state.step),
-                        "params": jax.device_get(state.params),
-                        "opt_state": jax.device_get(state.opt_state),
-                        "batch_stats": jax.device_get(state.batch_stats),
-                    },
+                    _save_tree(state),
                     metadata={"epoch": epoch, "preempted": True},
                 )
                 preempted = True
@@ -176,7 +195,7 @@ def train_classifier(
             if (bi + 1) % stats_interval == 0:
                 # per-parameter weight mean/std/L2 + grad/update scalars at
                 # the reference's TB cadence (train_backbone.py:73-83,131-135)
-                stats = weight_stats(jax.device_get(state.params))
+                stats = weight_stats(_host_params(state))
                 flat = {
                     f"w/{name}/{key}": val
                     for name, s in stats.items()
@@ -246,27 +265,24 @@ def train_classifier(
         if (epoch + 1) % 10 == 0 or epoch == n_epochs - 1:
             ckpt.save(
                 epoch + 1,
-                {
-                    "step": np.asarray(state.step),
-                    "params": jax.device_get(state.params),
-                    "opt_state": jax.device_get(state.opt_state),
-                    "batch_stats": jax.device_get(state.batch_stats),
-                },
+                _save_tree(state),
                 metadata={"epoch": epoch, "acc1": acc1},
             )
         if acc1 > best_acc:
             # acc1 is globally reduced — identical on every process, so
             # all ranks enter the save together (orbax barriers).
             best_acc = acc1
+            # best + backbone exports are whole host arrays even under
+            # fsdp (gathered once) — loadable without the training mesh
+            host_params = _host_params(state)
             ckpt.save(
                 "best",
-                {"params": jax.device_get(state.params),
+                {"params": host_params,
                  "batch_stats": jax.device_get(state.batch_stats)},
                 metadata={"epoch": epoch, "acc1": acc1},
             )
             save_backbone_only(
-                str(work_dir / "backbone_best"),
-                jax.device_get(state.params),
+                str(work_dir / "backbone_best"), host_params,
             )
     guard.close()
     return state, history

@@ -136,7 +136,10 @@ def train_segmentation(
     mesh=None,
     eval_max_images: Optional[int] = None,
     dataset_cls=ADE20KDataset,
-    eval_batch_size: int = 1,
+    # bucket-batched in-run eval: per-image dispatch through the device
+    # tunnel is the known-slow path and the 160k recipe evals 10x
+    # (matches the tools/test.py default)
+    eval_batch_size: int = 4,
 ):
     """Run the 160k-style iteration loop. Returns (state, history dict)."""
     mesh = mesh or make_mesh(cfg.mesh_shape)
@@ -149,11 +152,43 @@ def train_segmentation(
     ckpt = CheckpointManager(str(work_dir))
     logger = MetricLogger(work_dir / "train.log")
 
+    compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    fsdp = getattr(cfg, "fsdp", False)  # False | True | axis name
+    if fsdp:
+        # Place the state in its ZeRO/TP sharding BEFORE any restore so a
+        # resume restores straight into the sharded layout — orbax reads
+        # each process's own shards; no host-side full copy ever exists.
+        state = shard_state(mesh, state, fsdp=fsdp)
+
     if resume:
         latest = ckpt.latest_step()
         if latest is not None:
             state = ckpt.restore(latest, target=state)
             logger.log(f"resumed from iter {latest}")
+
+    def _save_tree(st: TrainState) -> dict:
+        # fsdp: hand the sharded jax.Arrays straight to orbax — each
+        # process serializes only its own shards (a jax.device_get of a
+        # cross-process-sharded leaf is not even addressable). Replicated
+        # runs keep host numpy copies (cheap; orbax writes once).
+        if fsdp:
+            return {"step": st.step, "params": st.params,
+                    "opt_state": st.opt_state,
+                    "batch_stats": st.batch_stats}
+        return {"step": np.asarray(st.step),
+                "params": jax.device_get(st.params),
+                "opt_state": jax.device_get(st.opt_state),
+                "batch_stats": jax.device_get(st.batch_stats)}
+
+    def _host_variables(st: TrainState) -> dict:
+        # eval-time host copy of params/batch_stats; fsdp shards are
+        # all-gathered in-program first (parallel/mesh.py:gather_tree)
+        tree = {"params": st.params}
+        if st.batch_stats:
+            tree["batch_stats"] = st.batch_stats
+        from ..parallel.mesh import gather_tree
+
+        return gather_tree(mesh, tree) if fsdp else jax.device_get(tree)
 
     train_ds = dataset_cls(
         cfg.data.data_root, "train",
@@ -172,10 +207,6 @@ def train_segmentation(
         "image": b["image"], "label": b["label"],
     }))
 
-    compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    fsdp = getattr(cfg, "fsdp", False)  # False | True | axis name
-    if fsdp:
-        state = shard_state(mesh, state, fsdp=fsdp)
     step_fn = make_train_step(
         model, mesh,
         task="seg",
@@ -214,12 +245,7 @@ def train_segmentation(
             logger.log(f"preemption notice: checkpointing at iter {it}")
             ckpt.save(
                 it,
-                {
-                    "step": np.asarray(state.step),
-                    "params": jax.device_get(state.params),
-                    "opt_state": jax.device_get(state.opt_state),
-                    "batch_stats": jax.device_get(state.batch_stats),
-                },
+                _save_tree(state),
                 metadata=dict(
                     {"iter": it, "preempted": True,
                      "config": dataclasses.asdict(cfg)},
@@ -256,12 +282,7 @@ def train_segmentation(
         if it % cfg.checkpoint_interval == 0:
             ckpt.save(
                 it,
-                {
-                    "step": np.asarray(state.step),
-                    "params": jax.device_get(state.params),
-                    "opt_state": jax.device_get(state.opt_state),
-                    "batch_stats": jax.device_get(state.batch_stats),
-                },
+                _save_tree(state),
                 metadata=dict(
                     {"iter": it, "config": dataclasses.asdict(cfg)},
                     **_dataset_meta(train_ds),
@@ -269,9 +290,7 @@ def train_segmentation(
             )
 
         if it % cfg.eval_interval == 0 or it == total:
-            variables = {"params": jax.device_get(state.params)}
-            if state.batch_stats:
-                variables["batch_stats"] = jax.device_get(state.batch_stats)
+            variables = _host_variables(state)
             inf = SegInferencer(
                 model, variables,
                 num_classes=cfg.model.num_classes,
@@ -295,10 +314,13 @@ def train_segmentation(
                 # every process, so all ranks take this branch together
                 # and orbax's internal barriers line up.
                 best_miou = miou
+                # `variables` is the eval-time host copy (fsdp shards
+                # already gathered), so the best ckpt is always whole
+                # arrays — loadable without the training mesh.
                 ckpt.save(
                     "best",
-                    {"params": jax.device_get(state.params),
-                     "batch_stats": jax.device_get(state.batch_stats)},
+                    {"params": variables["params"],
+                     "batch_stats": variables.get("batch_stats", {})},
                     metadata=dict(
                         {"iter": it, "mIoU": miou},
                         **_dataset_meta(train_ds),

@@ -325,6 +325,16 @@ class ADE20KDataset:
         self.ignore_index = ignore_index
         self.keep_ratio_val = keep_ratio_val
         self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the aug RNG stream (called by DataLoader per epoch).
+
+        Per-item RNG is keyed purely by (seed, epoch, idx), so a run is
+        reproducible end to end — the reference gets the same property
+        by seeding every library globally (tools/train.py:190-198) —
+        while each epoch still sees fresh augmentations."""
+        self.epoch = int(epoch)
 
     def __len__(self):
         return len(self.images)
@@ -342,7 +352,7 @@ class ADE20KDataset:
     def __getitem__(self, idx: int):
         img, mask = self.load_raw(idx)
         if self.is_train:
-            rng = random.Random(f"{self.seed}:{idx}:{random.random()}")
+            rng = random.Random(f"{self.seed}:{self.epoch}:{idx}")
             img, mask = train_transform(
                 img, mask, rng, crop_size=self.crop_size,
                 ignore_index=self.ignore_index,

@@ -333,6 +333,14 @@ class ImageNetDataset:
         self.is_train = split == "train"
         self.size = size
         self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the aug RNG stream (called by DataLoader per epoch);
+        per-item RNG is keyed purely by (seed, epoch, idx) so runs are
+        reproducible (reference analog: global seeding,
+        tools/train.py:190-198)."""
+        self.epoch = int(epoch)
 
     def __len__(self):
         return len(self.samples)
@@ -344,7 +352,7 @@ class ImageNetDataset:
             raise FileNotFoundError(path)
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         if self.is_train:
-            rng = random.Random(f"{self.seed}:{idx}:{random.random()}")
+            rng = random.Random(f"{self.seed}:{self.epoch}:{idx}")
             img = train_transform_cls(img, rng, size=self.size)
         else:
             img = val_transform_cls(img, size=self.size)

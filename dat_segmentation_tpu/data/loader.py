@@ -39,6 +39,7 @@ class DataLoader:
         seed: int = 0,
         shard_info: Optional[tuple] = None,
         infinite: bool = False,
+        epoch: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -52,6 +53,10 @@ class DataLoader:
         self.seed = seed
         self.shard_info = shard_info or (0, 1)
         self.infinite = infinite
+        # starting epoch: epoch-per-loader callers (trainer_cls builds a
+        # fresh loader every epoch) pass it so the shuffle order AND the
+        # dataset's per-item aug stream keep advancing across loaders
+        self.epoch0 = epoch
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -74,9 +79,17 @@ class DataLoader:
         return -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
-        epochs = itertools.count() if self.infinite else range(1)
+        epochs = itertools.count(self.epoch0) if self.infinite else [self.epoch0]
         with ThreadPoolExecutor(self.num_threads) as pool:
             for epoch in epochs:
+                # thread the epoch into the dataset's per-item aug RNG
+                # stream (keyed (seed, epoch, idx) -> fully reproducible
+                # runs, fresh augs per epoch). Safe w.r.t. the 2-batch
+                # pipeline: every previous-epoch future is consumed
+                # before this line runs.
+                set_epoch = getattr(self.dataset, "set_epoch", None)
+                if set_epoch is not None:
+                    set_epoch(epoch)
                 idx = self._epoch_indices(epoch)
                 usable = (
                     len(idx) - len(idx) % self.batch_size

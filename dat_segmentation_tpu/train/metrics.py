@@ -17,6 +17,46 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _hist_compare(x, num_classes: int):
+    """Compare-and-sum histogram: (N,1)==(1,C) fused into the reduce."""
+    classes = jnp.arange(num_classes, dtype=x.dtype)
+    return jnp.sum(
+        (x.reshape(-1, 1) == classes[None, :]).astype(jnp.int32), axis=0
+    )
+
+
+def _hist_matmul(x, num_classes: int, chunk: int = 1 << 18):
+    """Histogram with the REDUCTION on the MXU: per chunk, build the
+    (chunk, C) one-hot compare in bf16 and contract it against a ones
+    row — counts accumulate exactly in the f32 accumulator (chunk
+    <= 2^18 << 2^24). The VPU compare work is identical to
+    :func:`_hist_compare`; only the N-deep add tree moves to the MXU."""
+    x = x.reshape(-1)
+    n = x.shape[0]
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    if pad:
+        # parked beyond every class bin -> all-zero one-hot rows
+        x = jnp.pad(x, (0, pad), constant_values=num_classes)
+    xc = x.reshape(-1, chunk)
+    classes = jnp.arange(num_classes, dtype=x.dtype)
+    ones = jnp.ones((1, chunk), jnp.bfloat16)
+
+    def body(acc, row):
+        oh = (row[:, None] == classes[None, :]).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            ones, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0]
+        return acc + part, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((num_classes,), jnp.float32), xc)
+    return acc.astype(jnp.int32)
+
+
+_HISTS = {"compare": _hist_compare, "matmul": _hist_matmul}
+
+
 def intersect_and_union(
     pred: jax.Array,
     label: jax.Array,
@@ -24,12 +64,21 @@ def intersect_and_union(
     *,
     ignore_index: int = 255,
     valid_mask: jax.Array | None = None,
+    impl: str = "compare",
 ):
     """Per-class (intersection, union, pred_area, label_area) counts.
 
     pred/label: int arrays of identical shape. Returns four (num_classes,)
     int32 arrays; sums of these across any sharding/TTA/batch dims are
     exact, so accumulate then reduce.
+
+    ``impl`` selects the histogram lowering. NOT jnp.bincount in either
+    case: bincount lowers to a scatter-add, which TPU serializes —
+    40.0 ms at (4, 512, 512)x150 (v5e, 2026-08-17). 'compare' fuses a
+    (N, C) equality into a VPU reduce (14.6 ms at the same shape);
+    'matmul' keeps the same compares but reduces on the MXU via a
+    ones-row contraction (tools/bench_metrics.py measures both at
+    train-step level).
     """
     valid = label != ignore_index
     if valid_mask is not None:
@@ -38,21 +87,10 @@ def intersect_and_union(
     label = jnp.where(valid, label, num_classes)
     match = jnp.where(pred == label, pred, num_classes)
 
-    # Compare-and-sum histogram, NOT jnp.bincount: bincount lowers to a
-    # scatter-add, which TPU serializes — 40.0 ms for this op at
-    # (4, 512, 512) vs 14.6 ms for the vectorized compare form (v5e,
-    # 2026-08-17). The (N, C) equality never materializes; XLA fuses the
-    # compare into the reduction.
-    classes = jnp.arange(num_classes, dtype=pred.dtype)
-
-    def hist(x):
-        return jnp.sum(
-            (x.reshape(-1, 1) == classes[None, :]).astype(jnp.int32), axis=0
-        )
-
-    inter = hist(match)
-    area_pred = hist(pred)
-    area_label = hist(label)
+    hist = _HISTS[impl]
+    inter = hist(match, num_classes)
+    area_pred = hist(pred, num_classes)
+    area_label = hist(label, num_classes)
     union = area_pred + area_label - inter
     return inter, union, area_pred, area_label
 

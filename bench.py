@@ -103,6 +103,9 @@ def bench_train(batch: int = 2, config: str = "upn_tiny_160k_dp03_lr6",
     step = make_train_step(
         model, mesh, task="seg", num_classes=cfg.model.num_classes,
         aux_weight=cfg.model.aux_loss_weight,
+        # in-step IoU counter lowering, for perf attribution runs
+        # ('compare' default | 'matmul' | 'none'; train/metrics.py)
+        iou_impl=os.environ.get("DAT_TPU_BENCH_IOU", "compare"),
     )
     rng = np.random.RandomState(0)
     b = shard_batch(mesh, {

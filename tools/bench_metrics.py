@@ -65,19 +65,42 @@ def main():
             rng.randint(0, 150, (args.batch, 512, 512)).astype(np.int32)),
     })
 
+    # host snapshot: the step donates its input state, so each impl must
+    # start from fresh device buffers (a tree.map identity shares them
+    # and the 2nd impl would see deleted arrays)
+    host0 = {
+        "step": np.asarray(state0.step),
+        "params": jax.device_get(state0.params),
+        "opt_state": jax.device_get(state0.opt_state),
+        "batch_stats": jax.device_get(state0.batch_stats),
+    }
+
     results = {}
     for impl in args.impls:
         step = make_train_step(
             model, mesh, task="seg",
             num_classes=cfg.model.num_classes, iou_impl=impl,
         )
-        state = jax.tree.map(lambda x: x, state0)  # fresh copy (donated)
-        state, m = step(state, batch, jax.random.PRNGKey(1))
+        from dat_segmentation_tpu.parallel import TrainState
+
+        state = TrainState(
+            step=jnp.asarray(host0["step"]),
+            params=jax.tree.map(jnp.asarray, host0["params"]),
+            opt_state=jax.tree.map(jnp.asarray, host0["opt_state"]),
+            batch_stats=jax.tree.map(jnp.asarray, host0["batch_stats"]),
+            tx=tx,
+        )
+        # key created ONCE outside the loop: a per-iter PRNGKey is a
+        # per-iter host->device transfer, and through the axon tunnel
+        # each one costs seconds — it measured 23.5 s/step for a 0.33 s
+        # step (2026-08-19) before this was hoisted
+        key = jax.random.PRNGKey(1)
+        state, m = step(state, batch, key)
         _fetch(m)
         t0 = time.time()
         for _ in range(args.iters):
-            state, m = step(state, batch, jax.random.PRNGKey(1))
-        _fetch(m)
+            state, m = step(state, batch, key)
+        _fetch(m["loss"])
         dt = (time.time() - t0) / args.iters
         results[impl] = dt
         print(f"  iou_impl={impl:8s}: {dt*1e3:7.1f} ms/step "

@@ -1,23 +1,82 @@
 """Benchmark: DAT-T++ SemanticFPN forward throughput at 512x512 (bf16).
 
-Prints ONE JSON line:
-  {"metric": "images_per_sec_per_chip", "value": N, "unit": "img/s",
-   "vs_baseline": fraction-of-MXU-roofline}
+Prints a JSON headline line PER LEG, immediately and flushed, so a
+driver-side timeout can never erase an already-measured number (the
+round-4 failure: both legs' numbers were emitted only after BOTH
+10-25-minute remote compiles finished; rc=124 erased everything):
+
+  leg 1 (forward):  {"metric": "images_per_sec_per_chip", ...,
+                     "train_images_per_sec_per_chip": null}
+  leg 2 (train):    same shape with the train field filled.
+
+Either line alone is a complete record; the last one wins if both print.
 
 BASELINE.json target: >= 90% of roofline images/sec/chip on v5e for
 DAT-T++ FPN @ 512x512 (the reference publishes no throughput numbers, so
 the roofline fraction — achieved FLOP/s over peak bf16 FLOP/s — is the
 baseline axis; vs_baseline 1.0 == 100% of roofline).
+
+Timeout hardening:
+  * persistent XLA compile cache at <repo>/.xla_cache — re-runs (and the
+    driver's end-of-round run, after in-round warming) skip the remote
+    compile entirely;
+  * DAT_TPU_BENCH_BUDGET (seconds, default 3000): the train leg is
+    skipped when the remaining wall-clock budget cannot plausibly fit
+    its compile (estimated from the forward leg's elapsed time);
+  * SIGTERM flushes stdout before dying, stdout is line-buffered, and
+    every JSON print flushes.
 """
 
 import argparse
 import json
 import os
+import signal
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
+_T0 = time.monotonic()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _enable_persistent_cache():
+    cache = os.environ.get(
+        "DAT_TPU_XLA_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # noqa: BLE001 — cache is an optimization only
+        print(f"# persistent compile cache unavailable: {e!r}", file=sys.stderr)
+
+
+def _install_flush_hardening():
+    try:
+        sys.stdout.reconfigure(line_buffering=True)
+    except Exception:  # noqa: BLE001
+        pass
+
+    def _on_term(signum, frame):  # noqa: ARG001
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(143)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except (ValueError, OSError):
+        pass
+
+
+def _budget_remaining() -> float:
+    budget = float(os.environ.get("DAT_TPU_BENCH_BUDGET", "3000"))
+    return budget - (time.monotonic() - _T0)
+
+
+def _emit(obj: dict):
+    print(json.dumps(obj), flush=True)
 
 
 def _with_kernel_fallbacks(leg):
@@ -49,7 +108,11 @@ V5E_PEAK_FLOPS = 197e12  # bf16 peak, TPU v5e (public spec)
 
 
 def _fetch(tree):
-    """Force real execution: device_get a scalar slice of every leaf."""
+    """Force real execution: device_get a scalar slice of every leaf.
+    NOTE: under the axon tunnel block_until_ready resolves before
+    execution completes; a device_get of real bytes is the only
+    trustworthy sync. The device executes in-order, so fetching the
+    last program's output waits for all of them."""
     import numpy as np
 
     for leaf in jax.tree.leaves(tree):
@@ -113,29 +176,33 @@ def bench_train(batch: int = 2, config: str = "upn_tiny_160k_dp03_lr6",
         "label": jnp.asarray(rng.randint(0, 150, (batch, *SHAPE)).astype(np.int32)),
     })
     key = jax.random.PRNGKey(1)
+    # ONE compile: AOT-compile and call the executable directly (the jit
+    # dispatch cache does not share executables with .lower().compile(),
+    # so mixing the two pays the 10-25-min remote compile twice).
+    compiled = step.lower(st, b, key).compile()
     flops = 0.0
     try:
-        cost = step.lower(st, b, key).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         flops = float(cost.get("flops", 0.0)) if cost else 0.0
     except Exception:  # noqa: BLE001 — cost analysis is best-effort
         pass
     for _ in range(3):
-        st, m = step(st, b, key)
+        st, m = compiled(st, b, key)
     _fetch(m["loss"])
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        st, m = step(st, b, key)
+        st, m = compiled(st, b, key)
     _fetch(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     if emit:
-        print(json.dumps({
+        _emit({
             "metric": "train_images_per_sec_per_chip",
             "value": round(batch / dt, 2),
             "unit": f"img/s ({config} 512x512 bf16 train step"
                     f"{', remat' if remat else ''})",
             "vs_baseline": round(flops / dt / V5E_PEAK_FLOPS, 4),
-        }))
+        })
     print(f"# train step={dt*1e3:.1f}ms loss={float(m['loss']):.3f}",
           file=sys.stderr)
     return batch / dt
@@ -144,8 +211,6 @@ def bench_train(batch: int = 2, config: str = "upn_tiny_160k_dp03_lr6",
 def bench_cls(batch: int = 64, config: str = "cls_tiny_imagenet"):
     """DAT-T++ classifier 224x224 bf16 forward throughput (the ImageNet
     pretraining shape, reference train_backbone.py)."""
-    import numpy as np
-
     from dat_segmentation_tpu.configs import get_config
     from dat_segmentation_tpu.models import build_model
 
@@ -168,27 +233,40 @@ def bench_cls(batch: int = 64, config: str = "cls_tiny_imagenet"):
     cost = compiled.cost_analysis()
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
     for _ in range(3):
-        _fetch(fwd(x))
+        _fetch(compiled(x))
     iters = 20
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):
-        out = fwd(x)
+        out = compiled(x)
     _fetch(out)
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
     achieved = flops * iters / dt if flops else 0.0
-    print(json.dumps({
+    _emit({
         "metric": "cls_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": f"img/s ({config} 224x224 bf16 fwd, batch {batch})",
         "vs_baseline": round(achieved / V5E_PEAK_FLOPS, 4),
-    }))
+    })
     print(
         f"# flops/img={flops/batch/1e9:.1f}G achieved={achieved/1e12:.1f}TF/s "
         f"step={dt/iters*1e3:.1f}ms",
         file=sys.stderr,
     )
+
+
+def _headline(fwd_ips, roofline_frac, train_ips):
+    return {
+        "metric": "images_per_sec_per_chip",
+        "value": round(fwd_ips, 2),
+        "unit": "img/s (DAT-T++ FPN 512x512 bf16 fwd)",
+        "vs_baseline": round(roofline_frac, 4),
+        "train_images_per_sec_per_chip": (
+            None if train_ips is None else round(train_ips, 2)
+        ),
+        "train_unit": "img/s (upn_tiny 512x512 bf16 train step, b16)",
+    }
 
 
 def main():
@@ -218,37 +296,51 @@ def main():
         cost = compiled.cost_analysis()
         flops = float(cost.get("flops", 0.0)) if cost else 0.0
 
-        # warmup. NOTE: under the axon tunnel block_until_ready resolves
-        # before execution completes; a device_get of real bytes is the
-        # only trustworthy sync. The device executes in-order, so fetching
-        # the last program's output waits for all of them.
         for _ in range(3):
-            _fetch(fwd(x))
+            _fetch(compiled(x))
 
         iters = 20
         t0 = time.perf_counter()
         out = None
         for _ in range(iters):
-            out = fwd(x)
+            out = compiled(x)
         _fetch(out)
         dt = time.perf_counter() - t0
         return flops, iters, dt
 
     flops, iters, dt = _with_kernel_fallbacks(_fwd_leg)
+    fwd_elapsed = time.monotonic() - _T0
 
     ips = BATCH * iters / dt
     achieved_flops = flops * iters / dt if flops else 0.0
     roofline_frac = achieved_flops / V5E_PEAK_FLOPS if flops else 0.0
 
-    # Train throughput in the same emitted line (a training framework's
-    # headline number; the reference trains 2 img/GPU x 8 GPUs = global
-    # 16, which fits no-remat on ONE v5e chip since the round-3 scatter
-    # purge: b4 35.3 / b8 43.0 / b16 47.0 img/s/chip). Free the forward
-    # leg's buffers first — the b16 train step was validated against
-    # 16 GB HBM standalone. --fwd-only skips the leg (second 10-25 min
-    # remote compile through the axon tunnel).
+    # Emit the forward number NOW — a timeout during the train leg must
+    # not erase it (round-4 lesson: BENCH_r04 parsed null).
+    _emit(_headline(ips, roofline_frac, None))
+    print(
+        f"# flops/img={flops/BATCH/1e9:.1f}G achieved={achieved_flops/1e12:.1f}TF/s "
+        f"step={dt/iters*1e3:.1f}ms device={jax.devices()[0].device_kind} "
+        f"fwd_elapsed={fwd_elapsed:.0f}s budget_left={_budget_remaining():.0f}s",
+        file=sys.stderr,
+    )
+
+    # Train throughput (a training framework's headline number; the
+    # reference trains 2 img/GPU x 8 GPUs = global 16, which fits
+    # no-remat on ONE v5e chip since the round-3 scatter purge).
+    # Skip it when the remaining wall-clock budget can't plausibly fit
+    # its compile — estimated from the forward leg's own elapsed time
+    # (a cache-warm fwd leg predicts a cache-warm train compile).
+    train_ips = None
+    need = max(240.0, 1.25 * fwd_elapsed)
     if FWD_ONLY:
-        train_ips = None
+        print("# train leg skipped (--fwd-only)", file=sys.stderr)
+    elif _budget_remaining() < need:
+        print(
+            f"# train leg skipped: budget_left={_budget_remaining():.0f}s "
+            f"< needed~{need:.0f}s (set DAT_TPU_BENCH_BUDGET to raise)",
+            file=sys.stderr,
+        )
     else:
         try:
             train_ips = _with_kernel_fallbacks(
@@ -256,30 +348,13 @@ def main():
             )
         except Exception as e:  # never let the train leg kill the fwd result
             print(f"# train bench failed: {e}", file=sys.stderr)
-            train_ips = None
-
-    print(
-        json.dumps(
-            {
-                "metric": "images_per_sec_per_chip",
-                "value": round(ips, 2),
-                "unit": "img/s (DAT-T++ FPN 512x512 bf16 fwd)",
-                "vs_baseline": round(roofline_frac, 4),
-                "train_images_per_sec_per_chip": (
-                    None if train_ips is None else round(train_ips, 2)
-                ),
-                "train_unit": "img/s (upn_tiny 512x512 bf16 train step, b16)",
-            }
-        )
-    )
-    print(
-        f"# flops/img={flops/BATCH/1e9:.1f}G achieved={achieved_flops/1e12:.1f}TF/s "
-        f"step={dt/iters*1e3:.1f}ms device={jax.devices()[0].device_kind}",
-        file=sys.stderr,
-    )
+    if train_ips is not None:
+        _emit(_headline(ips, roofline_frac, train_ips))
 
 
 if __name__ == "__main__":
+    _install_flush_hardening()
+    _enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--train", action="store_true",
                     help="benchmark the full train step instead")

@@ -333,7 +333,13 @@ class ADE20KDataset:
         Per-item RNG is keyed purely by (seed, epoch, idx), so a run is
         reproducible end to end — the reference gets the same property
         by seeding every library globally (tools/train.py:190-198) —
-        while each epoch still sees fresh augmentations."""
+        while each epoch still sees fresh augmentations.
+
+        CONTRACT: external consumers that iterate this dataset across
+        epochs MUST advance the epoch (this method, or DataLoader's
+        ``epoch=`` / ``infinite=True`` which call it) — otherwise every
+        epoch replays bit-identical augmentations. The in-repo DataLoader
+        warns when a shuffling loader is rebuilt without advancing it."""
         self.epoch = int(epoch)
 
     def __len__(self):

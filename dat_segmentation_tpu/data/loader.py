@@ -57,6 +57,27 @@ class DataLoader:
         # fresh loader every epoch) pass it so the shuffle order AND the
         # dataset's per-item aug stream keep advancing across loaders
         self.epoch0 = epoch
+        # Guard against silently frozen aug streams: per-item aug RNG is
+        # keyed (seed, epoch, idx), so an epoch-per-loader caller that
+        # forgets ``epoch=`` replays bit-identical shuffles AND augs every
+        # epoch. Detect the second shuffling construction over the same
+        # dataset with the same starting epoch and warn once.
+        if shuffle and not infinite:
+            key = (id(dataset), seed, epoch)
+            if key in DataLoader._shuffle_keys_seen:
+                import warnings
+
+                warnings.warn(
+                    "DataLoader(shuffle=True) constructed twice over the "
+                    f"same dataset with epoch={epoch}: per-item aug RNG is "
+                    "keyed (seed, epoch, idx), so this loader repeats the "
+                    "previous one bit-for-bit. Pass epoch=<epoch index> "
+                    "when building one loader per epoch.",
+                    stacklevel=2,
+                )
+            DataLoader._shuffle_keys_seen.add(key)
+
+    _shuffle_keys_seen: set = set()
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)

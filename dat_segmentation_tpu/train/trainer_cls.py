@@ -37,7 +37,7 @@ from ..parallel.mesh import (
     shard_batch,
     shard_state,
 )
-from ..utils.logging import MetricLogger, weight_stats
+from ..utils.logging import MetricLogger, weight_stats_on_device
 from .checkpoint import CheckpointManager, load_pretrained, merge_pretrained, save_backbone_only
 from .optim import make_optimizer
 from .preemption import PreemptionGuard
@@ -133,11 +133,16 @@ def train_classifier(
                 "opt_state": jax.device_get(st.opt_state),
                 "batch_stats": jax.device_get(st.batch_stats)}
 
-    def _host_params(st: TrainState):
+    def _host_variables(st: TrainState) -> dict:
+        # whole host arrays for best/backbone exports, fsdp-safe: params
+        # AND batch_stats gathered together (a device_get of a
+        # cross-process-sharded batch_stats leaf is not addressable)
+        tree = {"params": st.params}
+        if st.batch_stats:
+            tree["batch_stats"] = st.batch_stats
         from ..parallel.mesh import gather_tree
 
-        return (gather_tree(mesh, st.params) if fsdp
-                else jax.device_get(st.params))
+        return gather_tree(mesh, tree) if fsdp else jax.device_get(tree)
 
     step_fn = make_train_step(
         model, mesh, task="cls",
@@ -194,8 +199,9 @@ def train_classifier(
                 )
             if (bi + 1) % stats_interval == 0:
                 # per-parameter weight mean/std/L2 + grad/update scalars at
-                # the reference's TB cadence (train_backbone.py:73-83,131-135)
-                stats = weight_stats(_host_params(state))
+                # the reference's TB cadence (train_backbone.py:73-83,131-135);
+                # computed on device — no param-tree gather under fsdp
+                stats = weight_stats_on_device(state.params)
                 flat = {
                     f"w/{name}/{key}": val
                     for name, s in stats.items()
@@ -258,6 +264,8 @@ def train_classifier(
         history["val_acc1"].append(acc1)
         history["val_acc5"].append(acc5)
         logger.log(f"epoch {epoch} val acc1={acc1*100:.2f} acc5={acc5*100:.2f}")
+        # TB scalars per epoch (reference train_backbone.py:291-296)
+        logger.scalars(int(state.step), val_acc1=acc1, val_acc5=acc5)
 
         # ckpt.save must run on EVERY process (orbax barriers across all
         # hosts; see CheckpointManager) — only primary writes, matching
@@ -274,15 +282,16 @@ def train_classifier(
             best_acc = acc1
             # best + backbone exports are whole host arrays even under
             # fsdp (gathered once) — loadable without the training mesh
-            host_params = _host_params(state)
+            variables = _host_variables(state)
             ckpt.save(
                 "best",
-                {"params": host_params,
-                 "batch_stats": jax.device_get(state.batch_stats)},
+                {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})},
                 metadata={"epoch": epoch, "acc1": acc1},
             )
             save_backbone_only(
-                str(work_dir / "backbone_best"), host_params,
+                str(work_dir / "backbone_best"), variables["params"],
             )
     guard.close()
+    logger.close()
     return state, history

@@ -271,6 +271,15 @@ def train_segmentation(
                 f"iter {it}/{total} loss={loss:.4f} lr={lr:.3e} "
                 f"train_mIoU={train_iou.miou()*100:.2f} {ips:.1f} img/s"
             )
+            # persisted run history (jsonl + TB): the step already computes
+            # grad_norm / update_ratio on device (parallel/train_step.py),
+            # so logging them costs two scalar fetches per interval.
+            logger.scalars(
+                it, loss=loss, lr=lr, train_miou=train_iou.miou(),
+                images_per_sec=ips,
+                grad_norm=float(metrics["grad_norm"]),
+                update_ratio=float(metrics["update_ratio"]),
+            )
             history["loss"].append(loss)
             train_iou.reset()
             t0 = time.time()
@@ -309,6 +318,7 @@ def train_segmentation(
             miou = res["mIoU"]
             history["val_miou"].append(miou)
             logger.log(f"iter {it} val mIoU={miou*100:.2f}")
+            logger.scalars(it, val_miou=miou)
             if miou > best_miou:
                 # miou is the distributed-reduced value — identical on
                 # every process, so all ranks take this branch together
@@ -327,6 +337,7 @@ def train_segmentation(
                     ),
                 )
     guard.close()
+    logger.close()
     # fold counters still pending on device so the reported running train
     # mIoU covers every iteration, not just full log_interval windows
     if acc_inter is not None:

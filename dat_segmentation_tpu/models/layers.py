@@ -269,13 +269,23 @@ class LayerNorm2d(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         dtype = x.dtype
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        # DAT_TPU_LN_BF16=1: dtype-native statistics — a measured probe at
+        # the train-step VPU floor (the LN fwd+bwd chain upcasts to f32 by
+        # default; on the f32-ALU VPU the saving is expected ~nil, but the
+        # attempt is recorded either way in docs/ROOFLINE.md §4). Parity
+        # configs keep the f32 default.
+        import os
+
+        if os.environ.get("DAT_TPU_LN_BF16") == "1":
+            xs = x
+        else:
+            xs = x.astype(jnp.float32)
+        mean = jnp.mean(xs, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xs - mean), axis=-1, keepdims=True)
+        y = (xs - mean) * jax.lax.rsqrt(var + self.eps)
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        return (y * scale + bias).astype(dtype)
+        return (y * scale.astype(y.dtype) + bias.astype(y.dtype)).astype(dtype)
 
 
 def batch_norm(

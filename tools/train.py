@@ -31,6 +31,16 @@ def parse_args():
     p.add_argument("--resume", action="store_true",
                    help="auto-resume from latest checkpoint in work dir")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--diff-seed", action="store_true",
+                   help="reference-CLI parity flag (tools/train.py:190-198: "
+                   "per-rank seed offsets so DDP ranks draw different "
+                   "dropout masks). A no-op here BY DESIGN: dropout masks "
+                   "are generated inside the pjit program from a replicated "
+                   "key over the GLOBAL batch, so every sample already gets "
+                   "a distinct mask, and per-item aug RNG is keyed by "
+                   "(seed, epoch, global idx). Per-process seed divergence "
+                   "would instead break GSPMD's replicated-input invariant "
+                   "and loader shard disjointness.")
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--epochs", type=int, default=None, help="classifier only")
     p.add_argument("--no-mixup", action="store_true")
@@ -81,6 +91,9 @@ def main():
 
     cfg = load_config(args.config)
     cfg = replace(cfg, **{"data.data_root": args.data_root, "seed": args.seed})
+    if args.diff_seed:
+        print("--diff-seed: no-op on TPU/SPMD (see --help) — dropout masks "
+              "and augmentations are already per-sample-distinct globally")
     if args.work_dir:
         cfg = replace(cfg, work_dir=args.work_dir)
     cfg = apply_overrides(cfg, args.set)

@@ -217,7 +217,10 @@ def bench_cls(batch: int = 64, config: str = "cls_tiny_imagenet"):
     cfg = get_config(config)
     model = build_model(cfg.model)
     x = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    # jitted init: ONE program instead of ~1000 eager per-op dispatches
+    # through the device tunnel (minutes of wall clock per run)
+    init = jax.jit(lambda k, xx: model.init({"params": k}, xx, train=False))
+    variables = init(jax.random.PRNGKey(0), x)
     variables = jax.tree.map(
         lambda v: v.astype(jnp.bfloat16)
         if jnp.issubdtype(v.dtype, jnp.floating)
@@ -278,9 +281,10 @@ def main():
         model = build_model(cfg.model)
 
         x = jnp.zeros((BATCH, *SHAPE, 3), jnp.bfloat16)
-        variables = model.init(
-            {"params": jax.random.PRNGKey(0)}, x, train=False
+        init = jax.jit(
+            lambda k, xx: model.init({"params": k}, xx, train=False)
         )
+        variables = init(jax.random.PRNGKey(0), x)
         variables = jax.tree.map(
             lambda v: v.astype(jnp.bfloat16)
             if jnp.issubdtype(v.dtype, jnp.floating)

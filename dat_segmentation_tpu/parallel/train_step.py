@@ -57,7 +57,11 @@ class TrainState(struct.PyTreeNode):
 def create_train_state(
     model, tx: optax.GradientTransformation, rng, sample_input
 ) -> TrainState:
-    variables = model.init({"params": rng}, sample_input, train=False)
+    # jitted init: one XLA program instead of ~1000 eager per-op
+    # dispatches — through the remote device tunnel the eager form costs
+    # minutes of wall clock per trainer/bench start-up
+    init = jax.jit(lambda k, x: model.init({"params": k}, x, train=False))
+    variables = init(rng, sample_input)
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -60,7 +60,10 @@ def _fwd_variables(batch):
     cfg = get_config("fpn_tiny_80k_dp04_lr2")
     model = build_model(cfg.model)
     x = jnp.zeros((batch, 512, 512, 3), jnp.bfloat16)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    # jitted init: ONE program instead of ~1000 eager per-op dispatches
+    # through the device tunnel (minutes each leg)
+    init = jax.jit(lambda k, xx: model.init({"params": k}, xx, train=False))
+    variables = init(jax.random.PRNGKey(0), x)
     variables = jax.tree.map(
         lambda v: v.astype(jnp.bfloat16)
         if jnp.issubdtype(v.dtype, jnp.floating)

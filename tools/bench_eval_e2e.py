@@ -98,9 +98,8 @@ def main():
     cfg = get_config(args.config)
     model = build_model(cfg.model)
     x0 = jnp.zeros((1, 512, 512, 3), jnp.float32)
-    variables = jax.device_get(
-        model.init({"params": jax.random.PRNGKey(0)}, x0, train=False)
-    )
+    init = jax.jit(lambda k, xx: model.init({"params": k}, xx, train=False))
+    variables = jax.device_get(init(jax.random.PRNGKey(0), x0))
     ds = SyntheticValSet(args.images, num_classes=cfg.model.num_classes)
     for i in range(len(ds)):  # pre-decode so timing excludes image synth
         ds.load_raw(i)

@@ -21,14 +21,18 @@ offline ``merge_shard_results`` remains for fleet-style runs.
 
 from __future__ import annotations
 
+import os
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Sequence
 
 import numpy as np
 
 from ..train.metrics import StreamingIoU
-from .inference import SegInferencer, _np_softmax, _resize_probs, _round_up
+from .inference import (
+    SegInferencer, _argmax_resized, _np_softmax, _resize_probs, _round_up,
+)
 
 MS_RATIOS = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75)  # tools/test.py:143-148
 
@@ -76,7 +80,10 @@ class _BucketBatcher:
     def __init__(self, inferencer: SegInferencer, batch_size: int, on_logits):
         self.inf = inferencer
         self.batch_size = batch_size
-        self.on_logits = on_logits  # (meta, (rh, rw, C) logits) -> None
+        # (meta, stride-4 logits, mid_hw, crop_hw) -> None: the callback
+        # owns the host resize chain (materialized for TTA accumulation,
+        # chunked resize+argmax on the single-scale fast path)
+        self.on_logits = on_logits
         self.buffers = defaultdict(list)  # (hb, wb) -> [(img, meta)]
 
     def add(self, img: np.ndarray, meta: dict):
@@ -107,14 +114,13 @@ class _BucketBatcher:
         for i, (img, meta) in enumerate(entries):
             h, w = img.shape[:2]
             if exact:
-                # slice the stride-4 logits to the true extent, resize
+                # slice the stride-4 logits to the true extent; resize
                 # with the TRUE ratio (mmseg resizes the exact run's
                 # logits straight to the image shape)
                 eh, ew = self.inf._ext4((h, w))
-                logits = _resize_probs(small[i][:eh, :ew], (h, w))
+                self.on_logits(meta, small[i][:eh, :ew], (h, w), None)
             else:
-                logits = _resize_probs(small[i], (hb, wb))[:h, :w]
-            self.on_logits(meta, logits)
+                self.on_logits(meta, small[i], (hb, wb), (h, w))
 
     def flush_all(self):
         for key in list(self.buffers):
@@ -135,14 +141,64 @@ def _evaluate_batched(
     log_interval: int,
     verbose: bool,
     on_pred=None,
+    postproc_workers: int = 0,
 ) -> int:
     n_aug = len(ratios) * (2 if flip else 1)
-    pending = {}  # idx -> [prob_sum, count, gt]
+    pending = {}  # idx -> [prob_sum | None, count, gt]
     done = [0]
     t0 = time.time()
 
-    def on_logits(meta, logits):
+    # single-scale postproc pool: the per-image resize+argmax chain is
+    # pure host work (cv2 releases the GIL), so with workers it overlaps
+    # the NEXT bucket's device forward instead of serializing after it.
+    # Workers only compute class maps; all finalization (IoU update,
+    # on_pred, pending bookkeeping) stays on this thread via _drain.
+    executor = None
+    futs: deque = deque()  # (idx, Future[pred])
+    if postproc_workers > 0 and n_aug == 1:
+        executor = ThreadPoolExecutor(postproc_workers)
+
+    def _drain(block: bool = False):
+        while futs and (block or futs[0][1].done()):
+            idx, fut = futs.popleft()
+            _finalize(idx, fut.result())
+
+    def _finalize(idx, pred):
+        iou.update(pred, pending[idx][2])
+        if on_pred is not None:
+            on_pred(idx, pred)
+        del pending[idx]
+        done[0] += 1
+        if verbose and done[0] % log_interval == 0:
+            rate = done[0] / (time.time() - t0)
+            print(
+                f"[eval] {done[0]} imgs, {rate:.2f} img/s, "
+                f"running mIoU={iou.miou()*100:.2f}"
+            )
+
+    def on_logits(meta, small, mid_hw, crop_hw):
         idx, do_flip, ori = meta["idx"], meta["flip"], meta["ori"]
+        if n_aug == 1:
+            # single-scale fast path (no flips to accumulate): chunked
+            # resize chain + running argmax — identical predictions
+            # (argmax commutes with softmax; see _argmax_resized), no
+            # full-resolution softmax / prob plane on the host
+            final = None if (crop_hw or mid_hw) == tuple(ori) else ori
+            if executor is not None:
+                futs.append((idx, executor.submit(
+                    _argmax_resized, small, mid_hw,
+                    crop_hw=crop_hw, final_hw=final,
+                )))
+                # bound in-flight logits slabs (~13 MB each at bucket/4)
+                _drain(block=len(futs) > 4 * postproc_workers)
+                return
+            _finalize(idx, _argmax_resized(
+                small, mid_hw, crop_hw=crop_hw, final_hw=final,
+            ).astype(np.int32))
+            return
+        logits = _resize_probs(small, mid_hw)
+        if crop_hw is not None:
+            logits = logits[: crop_hw[0], : crop_hw[1]]
         if do_flip:
             logits = logits[:, ::-1]
         # mmseg order: whole_inference resizes the LOGITS to ori_shape
@@ -156,17 +212,7 @@ def _evaluate_batched(
         acc[1] += 1
         if acc[1] == n_aug:
             pred = np.argmax(acc[0], axis=-1).astype(np.int32)
-            iou.update(pred, acc[2])
-            if on_pred is not None:
-                on_pred(idx, pred)
-            del pending[idx]
-            done[0] += 1
-            if verbose and done[0] % log_interval == 0:
-                rate = done[0] / (time.time() - t0)
-                print(
-                    f"[eval] {done[0]} imgs, {rate:.2f} img/s, "
-                    f"running mIoU={iou.miou()*100:.2f}"
-                )
+            _finalize(idx, pred)
 
     batcher = _BucketBatcher(inferencer, batch_size, on_logits)
     # Each pending image holds a full-res (H, W, C) float32 prob-sum
@@ -180,16 +226,25 @@ def _evaluate_batched(
         raw, gt = dataset.load_raw(idx)
         ori = gt.shape
         pending[idx] = [
-            np.zeros((*ori, inferencer.num_classes), np.float32), 0, gt,
+            # the fast path never touches the accumulator — don't pay
+            # the ~200 MB/img allocation for it
+            None if n_aug == 1
+            else np.zeros((*ori, inferencer.num_classes), np.float32),
+            0, gt,
         ]
         for inp, do_flip in inferencer.tta_inputs(
             raw, img_scale=img_scale, ratios=ratios, flip=flip,
             keep_ratio=keep_ratio,
         ):
             batcher.add(inp, {"idx": idx, "flip": do_flip, "ori": ori})
+        _drain()  # retire finished postproc before the RSS check
         if len(pending) > max_pending:
             batcher.flush_all()
+            _drain(block=True)
     batcher.flush_all()
+    _drain(block=True)
+    if executor is not None:
+        executor.shutdown()
     assert not pending, f"{len(pending)} images never finalized"
     return done[0]
 
@@ -210,6 +265,7 @@ def evaluate_dataset(
     log_interval: int = 50,
     verbose: bool = True,
     on_pred=None,
+    postproc_workers: Optional[int] = None,
 ) -> dict:
     """Returns {'mIoU': float, 'aAcc': float, 'per_class_iou': list}.
 
@@ -217,7 +273,15 @@ def evaluate_dataset(
     original-resolution class map — visualization/format writers hook in
     here so --show-dir/--format-dir reuse the eval pass instead of
     re-running inference (the reference paints from collected results,
-    tools/test.py:274-283)."""
+    tools/test.py:274-283).
+
+    ``postproc_workers``: host threads for the single-scale resize+argmax
+    postproc (cv2 releases the GIL), overlapping it with the next
+    bucket's device forward. None = auto (cpu_count - 1, max 8; 0 on a
+    1-core host). Only the batched single-scale path uses it — TTA
+    accumulates probabilities in shared per-image state."""
+    if postproc_workers is None:
+        postproc_workers = min(max((os.cpu_count() or 1) - 1, 0), 8)
     ratios: Sequence[float] = MS_RATIOS if aug_test else (1.0,)
     flip = bool(aug_test)
     iou = StreamingIoU(num_classes, ignore_index)
@@ -230,6 +294,7 @@ def evaluate_dataset(
             indices=indices, img_scale=img_scale, ratios=ratios, flip=flip,
             keep_ratio=keep_ratio, batch_size=batch_size,
             log_interval=log_interval, verbose=verbose, on_pred=on_pred,
+            postproc_workers=postproc_workers,
         )
     else:
         t0 = time.time()

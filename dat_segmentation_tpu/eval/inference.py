@@ -57,6 +57,48 @@ def _resize_probs(probs: np.ndarray, out_hw) -> np.ndarray:
     return out
 
 
+def _argmax_resized(logits: np.ndarray, out_hw, *,
+                    crop_hw=None, final_hw=None) -> np.ndarray:
+    """argmax over classes of a bilinear resize CHAIN of (H, W, C) logits
+    — logits -> out_hw [-> crop to crop_hw] [-> final_hw] — without ever
+    materializing a full (H, W, C) plane at any stage.
+
+    EXACT single-scale semantics: cv2 bilinear is channelwise
+    independent, so per-4-channel chunking reproduces the staged
+    full-plane resizes bit for bit, and softmax is strictly monotonic
+    per pixel, so argmax(softmax(resized)) == argmax(resized) including
+    tie-breaks (equal logits map to equal probs; both argmax rules pick
+    the lowest index — enforced by the strict `>` update). At 150
+    classes this skips the full-resolution softmax, the prob
+    accumulator, and two ~200 MB plane materializations per 2048x512
+    image — the measured host bottleneck of the round-5 e2e eval bench
+    (0.11 img/s whole-mode on the 1-core host; the reference keeps this
+    stage on the GPU)."""
+    c = logits.shape[-1]
+    tgt = final_hw or (crop_hw or out_hw)
+    best_val = np.full(tuple(tgt), -np.inf, np.float32)
+    best_idx = np.zeros(tuple(tgt), np.int32)
+    for lo in range(0, c, 4):
+        hi = min(lo + 4, c)
+        chunk = cv2.resize(
+            np.ascontiguousarray(logits[..., lo:hi].astype(np.float32)),
+            (out_hw[1], out_hw[0]), interpolation=cv2.INTER_LINEAR,
+        ).reshape(out_hw[0], out_hw[1], hi - lo)
+        if crop_hw is not None:
+            chunk = chunk[: crop_hw[0], : crop_hw[1]]
+        if final_hw is not None and chunk.shape[:2] != tuple(final_hw):
+            chunk = cv2.resize(
+                np.ascontiguousarray(chunk), (final_hw[1], final_hw[0]),
+                interpolation=cv2.INTER_LINEAR,
+            ).reshape(final_hw[0], final_hw[1], hi - lo)
+        ci = chunk.argmax(axis=-1)
+        cv = np.take_along_axis(chunk, ci[..., None], axis=-1)[..., 0]
+        upd = cv > best_val  # strict: earlier class wins ties (np.argmax)
+        best_val[upd] = cv[upd]
+        best_idx[upd] = (ci + lo).astype(np.int32)[upd]
+    return best_idx
+
+
 class SegInferencer:
     """Wraps a flax segmentor for deployment-style inference.
 
@@ -312,6 +354,20 @@ class SegInferencer:
         Returns (H_ori, W_ori) int32 class map.
         """
         ori = ori_shape or raw_img.shape[:2]
+        single = len(ratios) == 1 and not flip
+        if single:
+            # single-scale fast path: argmax commutes with the softmax
+            # (see _argmax_resized), so skip the softmax + prob
+            # accumulator entirely — identical predictions, ~3x less
+            # host postproc per image
+            (inp, _), = self.tta_inputs(
+                raw_img, img_scale=img_scale, ratios=ratios,
+                keep_ratio=keep_ratio,
+            )
+            logits = self.logits(inp)
+            if logits.shape[:2] == tuple(ori):
+                return np.argmax(logits, axis=-1).astype(np.int32)
+            return _argmax_resized(logits, ori)
         prob_sum = np.zeros((*ori, self.num_classes), np.float32)
         n = 0
         for inp, do_flip in self.tta_inputs(

@@ -687,6 +687,27 @@ def _v2_tiles(H: int, W: int, Ns: int, tw: int):
     return rt, xc
 
 
+def auto_version(W: int) -> int:
+    """version=0 selection: wide-lane kernel at wide stages, query-major
+    at narrow ones. The module pads H/W up to sublane multiples
+    (28->32 &c), so the v4 (RT, W, C) <-> (RT*W, C) shape casts are
+    always legal; v2 remains reachable via the env override.
+
+    v3 requires W to be a MULTIPLE of 128, not merely >= 128: its
+    internal (RT, W) lane flatten is a Mosaic shape cast that is only
+    layout-legal on full lane tiles. The >=128 gate shipped in round 3
+    because every 512²/224² stage width is a power of two (128/64/32/16
+    or 56/28/14/7-padded), but eval bucket shapes hit W=176 (704-wide
+    pad) and Mosaic rejects the cast ("unsupported shape cast",
+    vector<384x3072> -> <384x16x192>) — found by the round-5 e2e eval
+    bench on real v5e."""
+    if W >= 128 and W % 128 == 0:
+        return 3
+    if W % 8 == 0:
+        return 4
+    return 2
+
+
 def fused_deform_attention_v2(
     q: jax.Array,      # (BG, H, W, Cg) grouped queries
     k: jax.Array,      # (BG, Ns, Cg)
@@ -707,16 +728,8 @@ def fused_deform_attention_v2(
     hc = Cg // h_g
     hn, wn = hn or H, wn or W
     assert BG % n_groups == 0 and g == n_groups
-    if version == 0:  # auto: wide-lane kernel at wide stages, query-major
-        # at narrow ones. The module pads H/W up to sublane multiples
-        # (28->32 &c), so the v4 (RT, W, C) <-> (RT*W, C) shape casts are
-        # always legal; v2 remains reachable via the env override.
-        if W >= 128:
-            version = 3
-        elif W % 8 == 0:
-            version = 4
-        else:
-            version = 2
+    if version == 0:
+        version = auto_version(W)
     if version == 3:
         RT, XC = _v3_tiles(H, W, Ns, tw, h_g)
     elif version == 4:

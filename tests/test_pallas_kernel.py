@@ -436,3 +436,24 @@ def test_nobias_knob_consistent_fwd_bwd(layout, version, monkeypatch):
         )
     assert not np.any(np.asarray(dpos)), "dpos must be zero under nobias"
     assert not np.any(np.asarray(dtable)), "dtable must be zero under nobias"
+
+
+def test_auto_version_lane_alignment():
+    """version=0 selection must never pick v3 at widths that are not full
+    lane tiles: the v3 (RT, W) flatten is a Mosaic shape cast that is
+    only layout-legal at W % 128 == 0. W=176 (the 704-wide eval bucket's
+    stage-0) crashed real-TPU compilation with 'unsupported shape cast'
+    until the gate was tightened (round 5)."""
+    from dat_segmentation_tpu.ops.pallas.deform_attn import auto_version
+
+    assert auto_version(128) == 3
+    assert auto_version(256) == 3
+    assert auto_version(512) == 3
+    # not lane-aligned -> v4 (8-aligned) even though >= 128
+    assert auto_version(176) == 4
+    assert auto_version(136) == 4
+    # narrow 8-aligned -> v4; otherwise v2
+    assert auto_version(64) == 4
+    assert auto_version(88) == 4
+    assert auto_version(44) == 2
+    assert auto_version(7) == 2

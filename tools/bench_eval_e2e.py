@@ -77,6 +77,9 @@ def main():
     ap.add_argument("--tta", action="store_true",
                     help="also run MS+flip TTA (many compiles)")
     ap.add_argument("--no-exact", action="store_true")
+    ap.add_argument("--device-only", action="store_true",
+                    help="also time the bucket-batched forward alone "
+                         "(device-side ceiling, no logits postproc)")
     args = ap.parse_args()
 
     import jax
@@ -109,6 +112,49 @@ def main():
         legs.append((mode.strip(), False))
     if args.tta:
         legs.append(("whole", True))
+
+    if args.device_only:
+        # device-side ceiling: the bucket-batched exact forward alone
+        # (keep-ratio resize + normalize + pad on host, no logits
+        # postproc) — the number comparable to the reference's GPU-side
+        # single_gpu_test rate; host resize+argmax scales with cores
+        # (postproc_workers), this does not.
+        import numpy as np
+        from dat_segmentation_tpu.eval.evaluate import _BucketBatcher
+
+        inf = SegInferencer(
+            model, variables, num_classes=cfg.model.num_classes,
+            mode="whole", exact=not args.no_exact,
+        )
+        inputs = []
+        for i in range(len(ds)):
+            raw, gt = ds.load_raw(i)
+            (inp, _), = inf.tta_inputs(raw, img_scale=(2048, 512))
+            inputs.append(inp)
+
+        def run_once():
+            out_count = [0]
+            b = _BucketBatcher(
+                inf, args.batch,
+                lambda *a: out_count.__setitem__(0, out_count[0] + 1),
+            )
+            for j, inp in enumerate(inputs):
+                b.add(inp, {"idx": j, "flip": False, "ori": inp.shape[:2]})
+            b.flush_all()
+            assert out_count[0] == len(inputs)
+
+        run_once()  # compile every bucket
+        t0 = time.perf_counter()
+        run_once()
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "eval_images_per_sec",
+            "mode": "whole_device_only",
+            "value": round(args.images / dt, 2),
+            "unit": f"img/s ({args.config}, {args.images} synthetic val "
+                    f"imgs, scale (2048,512), batch {args.batch}, "
+                    f"exact={not args.no_exact}, forward only)",
+        }), flush=True)
 
     for mode, aug in legs:
         inf = SegInferencer(

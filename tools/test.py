@@ -43,6 +43,9 @@ def parse_args():
                         "is the smallest pad that bounds compile count; 1 "
                         "= mmseg-exact unpadded semantics (one compile per "
                         "distinct val shape — use for final parity runs)")
+    p.add_argument("--postproc-workers", type=int, default=None,
+                   help="host threads for single-scale resize+argmax "
+                        "postproc (default: cpu_count-1, max 8)")
     p.add_argument("--no-exact", action="store_true",
                    help="disable exact padded inference (valid-extent "
                         "propagation makes the padded forward EQUAL the "
@@ -181,6 +184,7 @@ def main():
         batch_size=args.batch_size,
         distributed=args.distributed,
         on_pred=on_pred if writers else None,
+        postproc_workers=args.postproc_workers,
     )
     # per-class table like mmseg's --eval mIoU output (dataset.evaluate
     # prints Class | IoU | Acc via prettytable; reference tools/test.py:300)

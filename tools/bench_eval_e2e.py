@@ -79,7 +79,17 @@ def main():
     ap.add_argument("--no-exact", action="store_true")
     ap.add_argument("--device-only", action="store_true",
                     help="also time the bucket-batched forward alone "
-                         "(device-side ceiling, no logits postproc)")
+                         "(no logits postproc; still pays per-batch "
+                         "H2D/D2H, which DOMINATES through the axon "
+                         "tunnel — seconds per ~20 MB transfer)")
+    ap.add_argument("--device-compute", action="store_true",
+                    help="device-side compute ceiling: inputs pre-staged "
+                         "on device, all bucket programs enqueued "
+                         "back-to-back, one tiny sync fetch at the end. "
+                         "Excludes host<->device transfers entirely — "
+                         "the number comparable to the reference's "
+                         "single_gpu_test rate on a real TPU-VM host "
+                         "(PCIe-rate transfers overlap the forward)")
     args = ap.parse_args()
 
     import jax
@@ -156,7 +166,72 @@ def main():
                     f"exact={not args.no_exact}, forward only)",
         }), flush=True)
 
+    if args.device_compute:
+        # The padded bucket batches the whole-mode eval would run, but
+        # staged on device up front and enqueued without any per-batch
+        # host sync; the device executes in order, so fetching a scalar
+        # of the LAST output waits for every program (CLAUDE.md
+        # benchmarking rule — block_until_ready lies under the tunnel).
+        from collections import defaultdict
+
+        import numpy as np
+
+        from dat_segmentation_tpu.eval.evaluate import _round_up
+
+        inf = SegInferencer(
+            model, variables, num_classes=cfg.model.num_classes,
+            mode="whole", exact=not args.no_exact,
+        )
+        bufs = defaultdict(list)
+        for i in range(len(ds)):
+            raw, _ = ds.load_raw(i)
+            (inp, _), = inf.tta_inputs(raw, img_scale=(2048, 512))
+            key = (_round_up(inp.shape[0], inf.bucket),
+                   _round_up(inp.shape[1], inf.bucket))
+            bufs[key].append(inp)
+        staged = []
+        for (hb, wb), imgs in bufs.items():
+            for c0 in range(0, len(imgs), args.batch):
+                chunk = imgs[c0:c0 + args.batch]
+                padded = np.zeros((args.batch, hb, wb, 3), np.float32)
+                valid = np.full((args.batch, 2), (hb, wb), np.int32)
+                for j, im in enumerate(chunk):
+                    padded[j, : im.shape[0], : im.shape[1]] = im
+                    valid[j] = im.shape[:2]
+                exact = inf.exact and any(
+                    im.shape[:2] != (hb, wb) for im in chunk
+                )
+                staged.append((
+                    jnp.asarray(padded),
+                    jnp.asarray(valid) if exact else None,
+                ))
+
+        def enqueue_all():
+            out = None
+            for img_d, hw_d in staged:
+                out = (inf._fwd_exact(img_d, hw_d) if hw_d is not None
+                       else inf._fwd(img_d))
+            return out
+
+        out = enqueue_all()  # compile + stage warm
+        np.asarray(jax.device_get(out[0, 0, 0, 0]))
+        t0 = time.perf_counter()
+        out = enqueue_all()
+        np.asarray(jax.device_get(out[0, 0, 0, 0]))
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "eval_images_per_sec",
+            "mode": "whole_device_compute",
+            "value": round(args.images / dt, 2),
+            "unit": f"img/s ({args.config}, {args.images} synthetic val "
+                    f"imgs, scale (2048,512), batch {args.batch}, "
+                    f"exact={not args.no_exact}, device compute only — "
+                    f"no host<->device transfers in the timed loop)",
+        }), flush=True)
+
     for mode, aug in legs:
+        if not mode:
+            continue
         inf = SegInferencer(
             model, variables,
             num_classes=cfg.model.num_classes,

@@ -158,8 +158,14 @@ def _evaluate_batched(
     if postproc_workers > 0 and n_aug == 1:
         executor = ThreadPoolExecutor(postproc_workers)
 
-    def _drain(block: bool = False):
-        while futs and (block or futs[0][1].done()):
+    def _drain(block: bool = False, down_to: Optional[int] = None):
+        # down_to: blocking-pop only until the queue is back under the
+        # in-flight bound — draining to EMPTY there would serialize the
+        # whole pipeline every time the bound is hit
+        while futs and (
+            block or futs[0][1].done()
+            or (down_to is not None and len(futs) > down_to)
+        ):
             idx, fut = futs.popleft()
             _finalize(idx, fut.result())
 
@@ -190,7 +196,7 @@ def _evaluate_batched(
                     crop_hw=crop_hw, final_hw=final,
                 )))
                 # bound in-flight logits slabs (~13 MB each at bucket/4)
-                _drain(block=len(futs) > 4 * postproc_workers)
+                _drain(down_to=4 * postproc_workers)
                 return
             _finalize(idx, _argmax_resized(
                 small, mid_hw, crop_hw=crop_hw, final_hw=final,

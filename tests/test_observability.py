@@ -189,3 +189,30 @@ def test_dataloader_warns_on_frozen_epoch_reuse():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         DataLoader(ds, 2, shuffle=True, seed=123, epoch=1)
+
+
+def test_tb_export_cli_converts_jsonl(tmp_path, monkeypatch):
+    """tools/tb_export.py retroactively converts a scalars JSONL (e.g. a
+    run recorded with tensorboard=False) into a loadable event file."""
+    import runpy
+
+    src = tmp_path / "train.scalars.jsonl"
+    src.write_text(
+        json.dumps({"step": 50, "time": 1.0, "loss": 2.5, "lr": 6e-5})
+        + "\n\n"  # blank lines are skipped
+        + json.dumps({"step": 100, "loss": 1.25, "note": "str skipped"})
+        + "\n"
+    )
+    monkeypatch.setattr("sys.argv", ["tb_export.py", str(src)])
+    runpy.run_path("tools/tb_export.py", run_name="__main__")
+
+    ev_files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert len(ev_files) == 1
+    records = _read_records(ev_files[0])
+    steps_scalars = [_decode_scalars(r) for r in records[1:]]
+    assert steps_scalars[0][0] == 50
+    assert steps_scalars[0][1]["loss"] == pytest.approx(2.5)
+    assert steps_scalars[0][1]["lr"] == pytest.approx(6e-5)
+    assert "time" not in steps_scalars[0][1]
+    assert steps_scalars[1][0] == 100
+    assert set(steps_scalars[1][1]) == {"loss"}
